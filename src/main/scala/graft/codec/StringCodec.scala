@@ -1,0 +1,182 @@
+package graft.codec
+
+/** String scheme family per the public BtrBlocks paper; the reference binds
+  * these behind its FFI (/root/reference/src/ffi.rs:69-74,
+  * compress_column_string). Operates on UTF-8 byte arrays so round-trips are
+  * bit-identical.
+  *
+  * Block layout: [tag:u8][count:i32][payload]; int sub-streams (lengths,
+  * dict codes) cascade through IntCodec; dict entries cascade through this
+  * codec (dict→FSST is the canonical cascade).
+  */
+object StringCodec {
+  final val TagUncompressed = 0
+  final val TagOneValue = 1
+  final val TagDict = 2
+  final val TagFsst = 3
+
+  def schemeName(tag: Int): String = tag match {
+    case TagUncompressed => "Uncompressed"
+    case TagOneValue     => "OneValue"
+    case TagDict         => "Dict"
+    case TagFsst         => "FSST"
+  }
+
+  def encode(out: BufWriter, v: Array[Array[Byte]], off: Int, len: Int, depth: Int, cfg: BtrConfig): Int = {
+    val tag = select(v, off, len, depth, cfg)
+    encodeWith(tag, out, v, off, len, depth, cfg)
+    tag
+  }
+
+  def encode(v: Array[Array[Byte]], cfg: BtrConfig = BtrConfig.default): Array[Byte] = {
+    val out = new BufWriter(256)
+    encode(out, v, 0, v.length, cfg.maxCascadeDepth, cfg)
+    out.result()
+  }
+
+  def decode(arr: Array[Byte]): Array[Array[Byte]] = decode(new BufReader(arr))
+
+  // ---------------------------------------------------------------- select
+
+  def select(v: Array[Array[Byte]], off: Int, len: Int, depth: Int, cfg: BtrConfig): Int = {
+    if (len == 0) return TagUncompressed
+    if (isConstant(v, off, len)) return TagOneValue
+    if (depth <= 0) return TagUncompressed
+    val (soff, slen, sample) = Sampling.sampleStrings(v, off, len, cfg)
+    var bestTag = TagUncompressed
+    var bestSize = Int.MaxValue
+    val candidates = Array(TagUncompressed, TagDict, TagFsst)
+    var i = 0
+    while (i < candidates.length) {
+      val t = candidates(i)
+      val w = new BufWriter(1024)
+      encodeWith(t, w, sample, soff, slen, depth, cfg)
+      if (w.size < bestSize) { bestSize = w.size; bestTag = t }
+      i += 1
+    }
+    bestTag
+  }
+
+  private def isConstant(v: Array[Array[Byte]], off: Int, len: Int): Boolean = {
+    var i = 1
+    while (i < len) {
+      if (!java.util.Arrays.equals(v(off + i), v(off))) return false
+      i += 1
+    }
+    true
+  }
+
+  // ---------------------------------------------------------------- encode
+
+  def encodeWith(tag: Int, out: BufWriter, v: Array[Array[Byte]], off: Int, len: Int, depth: Int, cfg: BtrConfig): Unit = {
+    out.u8(tag)
+    out.i32(len)
+    tag match {
+      case TagUncompressed => encUncompressed(out, v, off, len, depth, cfg)
+      case TagOneValue =>
+        if (len > 0) { out.i32(v(off).length); out.bytes(v(off)) } else out.i32(0)
+      case TagDict => encDict(out, v, off, len, depth, cfg)
+      case TagFsst => encFsst(out, v, off, len, depth, cfg)
+    }
+  }
+
+  private def encUncompressed(out: BufWriter, v: Array[Array[Byte]], off: Int, len: Int, depth: Int, cfg: BtrConfig): Unit = {
+    val lengths = new Array[Int](len)
+    var i = 0
+    while (i < len) { lengths(i) = v(off + i).length; i += 1 }
+    IntCodec.encode(out, lengths, 0, len, depth - 1, cfg)
+    i = 0
+    while (i < len) { out.bytes(v(off + i)); i += 1 }
+  }
+
+  private val byteArrayCmp = new java.util.Comparator[Array[Byte]] {
+    def compare(a: Array[Byte], b: Array[Byte]): Int =
+      java.util.Arrays.compareUnsigned(a, b)
+  }
+
+  private def encDict(out: BufWriter, v: Array[Array[Byte]], off: Int, len: Int, depth: Int, cfg: BtrConfig): Unit = {
+    val map = new java.util.TreeMap[Array[Byte], Integer](byteArrayCmp)
+    var i = 0
+    while (i < len) { map.put(v(off + i), null); i += 1 }
+    val dict = new Array[Array[Byte]](map.size())
+    val it = map.keySet().iterator()
+    i = 0
+    while (it.hasNext) { val k = it.next(); dict(i) = k; map.put(k, i); i += 1 }
+    val codes = new Array[Int](len)
+    i = 0
+    while (i < len) { codes(i) = map.get(v(off + i)); i += 1 }
+    encode(out, dict, 0, dict.length, depth - 1, cfg) // dict→FSST cascade lives here
+    IntCodec.encode(out, codes, 0, len, depth - 1, cfg)
+  }
+
+  private def encFsst(out: BufWriter, v: Array[Array[Byte]], off: Int, len: Int, depth: Int, cfg: BtrConfig): Unit = {
+    // train on evenly spaced strings up to the trainer's sample cap
+    val sampleBuf = new BufWriter(Fsst.MaxSampleBytes)
+    val step = math.max(1, len / 64)
+    var i = 0
+    while (i < len && sampleBuf.size < Fsst.MaxSampleBytes) {
+      val s = v(off + i)
+      sampleBuf.bytes(s, 0, math.min(s.length, Fsst.MaxSampleBytes - sampleBuf.size))
+      i += step
+    }
+    val table = Fsst.train(sampleBuf.result())
+    table.serialize(out)
+    val blob = new BufWriter(64)
+    val clens = new Array[Int](len)
+    i = 0
+    while (i < len) {
+      clens(i) = table.compress(v(off + i), 0, v(off + i).length, blob)
+      i += 1
+    }
+    IntCodec.encode(out, clens, 0, len, depth - 1, cfg)
+    val b = blob.result()
+    out.i32(b.length)
+    out.bytes(b)
+  }
+
+  // ---------------------------------------------------------------- decode
+
+  def decode(in: BufReader): Array[Array[Byte]] = {
+    val tag = in.u8()
+    val len = in.i32()
+    val out = new Array[Array[Byte]](len)
+    tag match {
+      case TagUncompressed =>
+        val lengths = IntCodec.decode(in)
+        var i = 0
+        while (i < len) { out(i) = in.bytes(lengths(i)); i += 1 }
+      case TagOneValue =>
+        val l = in.i32()
+        val s = in.bytes(l)
+        var i = 0
+        while (i < len) { out(i) = s; i += 1 }
+      case TagDict =>
+        val dict = decode(in)
+        val codes = IntCodec.decode(in)
+        var i = 0
+        while (i < len) { out(i) = dict(codes(i)); i += 1 }
+      case TagFsst =>
+        val table = Fsst.deserialize(in)
+        val clens = IntCodec.decode(in)
+        in.i32() // blob length (redundant, for skipping)
+        var i = 0
+        while (i < len) { out(i) = table.decompress(in, clens(i)); i += 1 }
+    }
+    out
+  }
+
+  /** Top-level scheme description (for metrics/lineage) without decoding. */
+  def describeBlock(arr: Array[Byte]): String = {
+    val in = new BufReader(arr)
+    val tag = in.u8()
+    in.i32() // count
+    tag match {
+      case TagUncompressed => "Raw"
+      case TagOneValue     => "One"
+      case TagDict =>
+        val dTag = new BufReader(arr, in.pos).u8()
+        s"Dict(d=${schemeName(dTag)})"
+      case TagFsst => "FSST"
+    }
+  }
+}
