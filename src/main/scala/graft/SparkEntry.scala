@@ -1,13 +1,48 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import graft.codec.BtrConfig
+import graft.data.SourceCodeGen
+import graft.engine.BtrTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship: synthesize the source-code table (BASELINE.json input_hint
+    * shape), encode every column with the BtrBlocks scheme family, decode,
+    * and verify per-row sha256(content) equality plus bit-identical columns
+    * (the north-rule invariant, mirroring the reference round-trip tests
+    * /root/reference/src/lib.rs:390-421). Returns per-column codec-choice /
+    * ratio metrics with the verification verdict attached; driver
+    * smoke-checks rows>0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val dir = "file:/root/repo/target/tmp/flagship_btr"
+    val src = SourceCodeGen.table(spark, 20000).toDF()
+      .select(
+        $"row_id".cast("int").as("row_id"),
+        $"repo", $"path", $"commit", $"lang", $"content")
+      .cache()
+    BtrTable.write(src, dir, BtrConfig.default, rangeCols = Seq("repo", "path"))
+    val decoded = BtrTable.load(spark, dir)
+    val joined = decoded.as("d").join(src.as("o"), "row_id")
+    val verdict = joined.agg(
+      count(lit(1)).as("rows_verified"),
+      sum(when(
+        sha2($"d.content", 256) === sha2($"o.content", 256) &&
+          $"d.repo" === $"o.repo" && $"d.path" === $"o.path" &&
+          $"d.commit" === $"o.commit" && $"d.lang" === $"o.lang", 0)
+        .otherwise(1)).as("mismatches"))
+    BtrTable.stats(spark, dir).crossJoin(verdict)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Queries.oracles
 }

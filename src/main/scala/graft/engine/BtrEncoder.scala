@@ -1,0 +1,142 @@
+package graft.engine
+
+import graft.codec.{BtrConfig, ColType}
+import graft.format.CompressedPart
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.types._
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Distributed encode: DataFrame → Dataset[CompressedPart].
+  *
+  * Spark-first re-expression of the reference's Btr::from_csv encode path
+  * (/root/reference/src/btrblocks.rs:382-539). The reference parallelizes
+  * one tokio task per column on one machine; here parallelism is
+  * (partition × column): each Spark task slices its partition into
+  * blockSize-row chunks and encodes every column of each chunk, streaming
+  * chunk-by-chunk so task memory is bounded by blockSize × row width —
+  * the property that lets this run on 100 TB inputs.
+  *
+  * Nulls are rejected explicitly: the reference's effective model is
+  * non-null columns (SURVEY §1.2; CSV ingest substitutes defaults,
+  * /root/reference/src/btrblocks.rs:434,:458,:479).
+  */
+object BtrEncoder {
+
+  def supportedType(dt: DataType): Option[Int] = dt match {
+    case IntegerType => Some(ColType.Integer)
+    case DoubleType  => Some(ColType.Double)
+    case StringType  => Some(ColType.String)
+    case _           => None
+  }
+
+  def validateSchema(schema: StructType): Array[Int] =
+    schema.fields.map { f =>
+      supportedType(f.dataType).getOrElse(
+        throw new IllegalArgumentException(
+          s"column '${f.name}': unsupported type ${f.dataType.sql} — btr columns are " +
+            "INT, DOUBLE or STRING (matching the reference's Integer/Double/String; " +
+            "cast upstream)"))
+    }
+
+  /** Lazily encodes one Spark partition chunk-by-chunk. */
+  final class PartitionEncodeIterator(
+      rows: Iterator[Row],
+      schema: StructType,
+      colTypes: Array[Int],
+      cfg: BtrConfig)
+    extends Iterator[CompressedPart] {
+
+    private val nCols = schema.length
+    private val partitionId = TaskContext.getPartitionId()
+    private var chunkIdx = 0
+    private var firstRow = 0L
+    private var pending: Iterator[CompressedPart] = Iterator.empty
+
+    // reusable typed buffers, one per column
+    private val intBuf = new Array[Array[Int]](nCols)
+    private val dblBuf = new Array[Array[Double]](nCols)
+    private val strBuf = new Array[Array[Array[Byte]]](nCols)
+    locally {
+      var c = 0
+      while (c < nCols) {
+        colTypes(c) match {
+          case ColType.Integer => intBuf(c) = new Array[Int](cfg.blockSize)
+          case ColType.Double  => dblBuf(c) = new Array[Double](cfg.blockSize)
+          case ColType.String  => strBuf(c) = new Array[Array[Byte]](cfg.blockSize)
+        }
+        c += 1
+      }
+    }
+
+    override def hasNext: Boolean = pending.hasNext || rows.hasNext
+
+    override def next(): CompressedPart = {
+      if (!pending.hasNext) fillChunk()
+      pending.next()
+    }
+
+    private def fillChunk(): Unit = {
+      var n = 0
+      while (n < cfg.blockSize && rows.hasNext) {
+        val row = rows.next()
+        var c = 0
+        while (c < nCols) {
+          if (row.isNullAt(c))
+            throw new IllegalArgumentException(
+              s"null in column '${schema(c).name}' at partition $partitionId — " +
+                "btr columns are non-null (reference model, SURVEY §1.2)")
+          colTypes(c) match {
+            case ColType.Integer => intBuf(c)(n) = row.getInt(c)
+            case ColType.Double  => dblBuf(c)(n) = row.getDouble(c)
+            case ColType.String  => strBuf(c)(n) = row.getString(c).getBytes(UTF_8)
+          }
+          c += 1
+        }
+        n += 1
+      }
+      val len = n
+      val ci = chunkIdx
+      val fr = firstRow
+      chunkIdx += 1
+      firstRow += len
+      val parts = new Array[CompressedPart](nCols)
+      var c = 0
+      while (c < nCols) {
+        parts(c) = colTypes(c) match {
+          case ColType.Integer =>
+            ChunkEncoder.encodeInt(partitionId, ci, fr, c, schema(c).name, intBuf(c), len, cfg)
+          case ColType.Double =>
+            ChunkEncoder.encodeDouble(partitionId, ci, fr, c, schema(c).name, dblBuf(c), len, cfg)
+          case ColType.String =>
+            ChunkEncoder.encodeString(partitionId, ci, fr, c, schema(c).name, strBuf(c), len, cfg)
+        }
+        c += 1
+      }
+      // release string refs so the next chunk doesn't pin two generations
+      if (strBuf != null) {
+        var k = 0
+        while (k < nCols) {
+          if (strBuf(k) != null) java.util.Arrays.fill(
+            strBuf(k).asInstanceOf[Array[AnyRef]], 0, len, null)
+          k += 1
+        }
+      }
+      pending = parts.iterator
+    }
+  }
+
+  /** Encode every column of `df` into compressed parts. The input's
+    * partitioning is preserved — repartition upstream (see BtrTable.write's
+    * repartitionByRange + salting) to control part layout and skew.
+    */
+  def encodeToParts(df: DataFrame, cfg: BtrConfig = BtrConfig.default): Dataset[CompressedPart] = {
+    val schema = df.schema
+    val colTypes = validateSchema(schema)
+    import df.sparkSession.implicits._
+    df.mapPartitions { rows =>
+      if (rows.isEmpty) Iterator.empty
+      else new PartitionEncodeIterator(rows, schema, colTypes, cfg)
+    }
+  }
+}

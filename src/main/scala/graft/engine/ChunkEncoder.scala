@@ -1,0 +1,90 @@
+package graft.engine
+
+import graft.codec._
+import graft.format.CompressedPart
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Per-chunk column encoders: one typed column chunk → one CompressedPart.
+  * Pure per-task logic (no Spark classes) so it runs identically inside
+  * mapPartitions and in unit tests — the Spark analog of the reference's
+  * in-memory Datablock compress (/root/reference/src/btrblocks.rs:299-326).
+  */
+object ChunkEncoder {
+
+  def encodeInt(
+      partitionId: Int, chunkIdx: Int, firstRow: Long,
+      colIdx: Int, colName: String,
+      v: Array[Int], len: Int, cfg: BtrConfig): CompressedPart = {
+    val out = new BufWriter(len * 2 + 64)
+    IntCodec.encode(out, v, 0, len, cfg.maxCascadeDepth, cfg)
+    val bytes = out.result()
+    var mn = Long.MaxValue
+    var mx = Long.MinValue
+    var i = 0
+    while (i < len) {
+      if (v(i) < mn) mn = v(i)
+      if (v(i) > mx) mx = v(i)
+      i += 1
+    }
+    CompressedPart(
+      partitionId, chunkIdx, firstRow, len, colIdx, colName, ColType.Integer,
+      IntCodec.describe(new BufReader(bytes)), 4L * len, bytes.length, bytes,
+      if (len > 0) Some(mn) else None, if (len > 0) Some(mx) else None,
+      None, None, None, None)
+  }
+
+  def encodeDouble(
+      partitionId: Int, chunkIdx: Int, firstRow: Long,
+      colIdx: Int, colName: String,
+      v: Array[Double], len: Int, cfg: BtrConfig): CompressedPart = {
+    val out = new BufWriter(len * 4 + 64)
+    DoubleCodec.encode(out, v, 0, len, cfg.maxCascadeDepth, cfg)
+    val bytes = out.result()
+    var mn = Double.PositiveInfinity
+    var mx = Double.NegativeInfinity
+    var sawNaN = false
+    var i = 0
+    while (i < len) {
+      val x = v(i)
+      if (x.isNaN) sawNaN = true
+      else { if (x < mn) mn = x; if (x > mx) mx = x }
+      i += 1
+    }
+    val hasRange = len > 0 && !sawNaN && mn <= mx
+    CompressedPart(
+      partitionId, chunkIdx, firstRow, len, colIdx, colName, ColType.Double,
+      DoubleCodec.describe(new BufReader(bytes)), 8L * len, bytes.length, bytes,
+      None, None,
+      if (hasRange) Some(mn) else None, if (hasRange) Some(mx) else None,
+      None, None)
+  }
+
+  def encodeString(
+      partitionId: Int, chunkIdx: Int, firstRow: Long,
+      colIdx: Int, colName: String,
+      v: Array[Array[Byte]], len: Int, cfg: BtrConfig): CompressedPart = {
+    var raw = 0L
+    var i = 0
+    while (i < len) { raw += v(i).length; i += 1 }
+    val out = new BufWriter(math.min(raw, Int.MaxValue / 2).toInt / 2 + 256)
+    StringCodec.encode(out, v, 0, len, cfg.maxCascadeDepth, cfg)
+    val bytes = out.result()
+    // zone map only when min/max are short enough to store faithfully
+    var mn: Array[Byte] = null
+    var mx: Array[Byte] = null
+    i = 0
+    while (i < len) {
+      if (mn == null || java.util.Arrays.compareUnsigned(v(i), mn) < 0) mn = v(i)
+      if (mx == null || java.util.Arrays.compareUnsigned(v(i), mx) > 0) mx = v(i)
+      i += 1
+    }
+    val (minS, maxS) =
+      if (len > 0 && mn.length <= 64 && mx.length <= 64)
+        (Some(new String(mn, UTF_8)), Some(new String(mx, UTF_8)))
+      else (None, None)
+    CompressedPart(
+      partitionId, chunkIdx, firstRow, len, colIdx, colName, ColType.String,
+      StringCodec.describeBlock(bytes), raw, bytes.length, bytes,
+      None, None, None, None, minS, maxS)
+  }
+}

@@ -1,0 +1,122 @@
+package graft.format
+
+/** On-disk btr-spark format: a directory holding
+  *   - `parts/` — parquet Dataset[CompressedPart] (one row per column-chunk)
+  *   - `_btr_manifest.json` — schema + config + lineage + stats
+  *
+  * Spark-native re-expression of the reference's btr directory
+  * (`metadata` + `column{i}_part{j}` blobs, /root/reference/src/btrblocks.rs:668-672,
+  * metadata layout :121-199). We keep real column names in the manifest — the
+  * reference loses them (/root/reference/src/btrblocks.rs:181-198) — and add
+  * per-part zone maps (min/max) the reference lacks, enabling part pruning
+  * before decode.
+  */
+final case class CompressedPart(
+    partitionId: Int,
+    chunkIdx: Int,
+    firstRow: Long, // offset within the encode partition
+    numRows: Int,
+    colIdx: Int,
+    colName: String,
+    colType: Int, // ColType: 0=int, 1=double, 2=string
+    scheme: String, // human-readable scheme tree (lineage/metrics)
+    rawBytes: Long,
+    encBytes: Long,
+    bytes: Array[Byte],
+    // zone maps (nullable; only for the matching type, strings <= 64 chars)
+    minLong: Option[Long],
+    maxLong: Option[Long],
+    minDouble: Option[Double],
+    maxDouble: Option[Double],
+    minStr: Option[String],
+    maxStr: Option[String])
+
+final case class ColumnMeta(name: String, colType: Int)
+
+/** Manifest mirroring the reference's FileMetadata{num_columns, num_chunks,
+  * parts} (/root/reference/src/btrblocks.rs:121-199) plus checkpoint lineage
+  * for resumable runs (north rule).
+  */
+final case class BtrManifest(
+    columns: Seq[ColumnMeta],
+    numPartitions: Int,
+    blockSize: Int,
+    maxCascadeDepth: Int,
+    numRows: Long,
+    rawBytes: Long,
+    encBytes: Long,
+    completedPartitions: Seq[Int]) {
+  def ratio: Double = if (encBytes == 0) 0.0 else rawBytes.toDouble / encBytes
+}
+
+object BtrManifest {
+  private def esc(s: String): String = s.flatMap {
+    case '"'          => "\\\""
+    case '\\'         => "\\\\"
+    case '\n'         => "\\n"
+    case '\r'         => "\\r"
+    case '\t'         => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c            => c.toString
+  }
+
+  def toJson(m: BtrManifest): String = {
+    val cols = m.columns
+      .map(c => s"""{"name":"${esc(c.name)}","colType":${c.colType}}""")
+      .mkString("[", ",", "]")
+    val done = m.completedPartitions.mkString("[", ",", "]")
+    s"""{"columns":$cols,"numPartitions":${m.numPartitions},"blockSize":${m.blockSize},""" +
+      s""""maxCascadeDepth":${m.maxCascadeDepth},"numRows":${m.numRows},""" +
+      s""""rawBytes":${m.rawBytes},"encBytes":${m.encBytes},"completedPartitions":$done}"""
+  }
+
+  /** Minimal JSON parse (manifest is machine-written, flat, known shape). */
+  def fromJson(json: String): BtrManifest = {
+    def longField(name: String): Long = {
+      val m = ("\"" + name + "\"\\s*:\\s*(-?\\d+)").r.findFirstMatchIn(json)
+      m.map(_.group(1).toLong).getOrElse(0L)
+    }
+    val colRe = "\\{\"name\":\"((?:[^\"\\\\]|\\\\.)*)\",\"colType\":(\\d)\\}".r
+    val cols = colRe
+      .findAllMatchIn(json)
+      .map(m => ColumnMeta(unesc(m.group(1)), m.group(2).toInt))
+      .toSeq
+    val doneRe = "\"completedPartitions\"\\s*:\\s*\\[([^\\]]*)\\]".r
+    val done = doneRe
+      .findFirstMatchIn(json)
+      .map(_.group(1).trim)
+      .filter(_.nonEmpty)
+      .map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq.empty)
+    BtrManifest(
+      columns = cols,
+      numPartitions = longField("numPartitions").toInt,
+      blockSize = longField("blockSize").toInt,
+      maxCascadeDepth = longField("maxCascadeDepth").toInt,
+      numRows = longField("numRows"),
+      rawBytes = longField("rawBytes"),
+      encBytes = longField("encBytes"),
+      completedPartitions = done)
+  }
+
+  private def unesc(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"'  => sb.append('"'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case 'n'  => sb.append('\n'); i += 2
+          case 'r'  => sb.append('\r'); i += 2
+          case 't'  => sb.append('\t'); i += 2
+          case 'u' =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+          case other => sb.append(other); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+}

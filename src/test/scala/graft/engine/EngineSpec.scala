@@ -1,0 +1,135 @@
+package graft.engine
+
+import graft.codec.BtrConfig
+import graft.data.SourceCodeGen
+import graft.format.BtrManifest
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Paths
+
+/** End-to-end engine tests: encode→decode→sha256 verify over the synthetic
+  * source-code table (FIXTURES.md F3; north-rule invariant), resume from
+  * checkpoint, column pruning.
+  */
+class EngineSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("engine-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmpDir(name: String): String = {
+    val p = Paths.get("target", "tmp", s"spec_$name")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    if (p.toFile.exists()) rm(p.toFile)
+    p.toFile.mkdirs()
+    "file:" + p.toAbsolutePath
+  }
+
+  // small blocks => many chunks per partition (reference TODO at
+  // /root/reference/src/lib.rs:314-318 wants multi-part coverage)
+  val cfg = BtrConfig(maxCascadeDepth = 3, blockSize = 256)
+
+  private def sourceDf = {
+    import spark.implicits._
+    SourceCodeGen.table(spark, 3000, seed = 7L).toDF()
+      .select($"row_id".cast("int").as("row_id"),
+        $"repo", $"path", $"commit", $"lang", $"content")
+  }
+
+  test("e2e: encode -> decode -> every column bit-identical (sha256 join)") {
+    val dir = tmpDir("e2e")
+    val src = sourceDf.cache()
+    val manifest = BtrTable.write(src, dir, cfg, rangeCols = Seq("repo", "path"))
+    assert(manifest.numRows == 3000)
+    assert(manifest.encBytes > 0 && manifest.encBytes < manifest.rawBytes,
+      s"compressed (${manifest.encBytes}) must be < raw (${manifest.rawBytes})")
+
+    val decoded = BtrTable.load(spark, dir)
+    assert(decoded.count() == 3000)
+    val joined = decoded.as("d").join(src.as("o"), "row_id")
+    assert(joined.count() == 3000, "row_id join must cover all rows")
+    val bad = joined.filter(
+      sha2(col("d.content"), 256) =!= sha2(col("o.content"), 256) ||
+        col("d.repo") =!= col("o.repo") || col("d.path") =!= col("o.path") ||
+        col("d.commit") =!= col("o.commit") || col("d.lang") =!= col("o.lang"))
+    assert(bad.count() == 0, "decoded columns must be bit-identical")
+    src.unpersist()
+  }
+
+  test("decode with column pruning reads only requested columns") {
+    val dir = tmpDir("prune")
+    BtrTable.write(sourceDf, dir, cfg)
+    val only = BtrTable.load(spark, dir, Seq("lang", "repo"))
+    assert(only.columns.toSeq == Seq("lang", "repo"))
+    assert(only.count() == 3000)
+    assert(only.select("lang").distinct().count() <= 10)
+  }
+
+  test("resumable write: restart after partial completion finishes the table") {
+    val dir = tmpDir("resume")
+    val src = sourceDf
+    val m1 = BtrTable.writeResumable(src, dir, cfg, buckets = 4)
+    assert(m1.completedPartitions.sorted == Seq(0, 1, 2, 3))
+    assert(m1.numRows == 3000)
+
+    // simulate a crash after bucket 1: drop buckets 2,3 and rewind lineage
+    val base = dir.stripPrefix("file:")
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rmrf)
+      p.delete()
+    }
+    rmrf(Paths.get(base, "parts", "bucket=2").toFile)
+    rmrf(Paths.get(base, "parts", "bucket=3").toFile)
+    val crashed = m1.copy(completedPartitions = Seq(0, 1))
+    BtrTable.writeManifest(spark, dir, crashed)
+    val partial = BtrTable.readManifest(spark, dir)
+    assert(partial.completedPartitions == Seq(0, 1))
+
+    // resume: only buckets 2,3 are re-encoded
+    val m2 = BtrTable.writeResumable(src, dir, cfg, buckets = 4)
+    assert(m2.completedPartitions.sorted == Seq(0, 1, 2, 3))
+    assert(m2.numRows == 3000)
+    val decoded = BtrTable.load(spark, dir)
+    assert(decoded.count() == 3000)
+    assert(decoded.select("row_id").distinct().count() == 3000)
+  }
+
+  test("nulls are rejected with a clear error") {
+    import spark.implicits._
+    val dir = tmpDir("nulls")
+    val df = Seq(("a", Some(1)), ("b", None)).toDF("k", "v")
+      .select($"k", $"v".cast("int").as("v"))
+    val e = intercept[org.apache.spark.SparkException] {
+      BtrTable.write(df, dir, cfg)
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("unsupported type fails fast") {
+    import spark.implicits._
+    val df = Seq((1L, "x")).toDF("big", "s")
+    val e = intercept[IllegalArgumentException] {
+      BtrEncoder.validateSchema(df.schema)
+    }
+    assert(e.getMessage.contains("unsupported"))
+  }
+
+  test("manifest json round-trips") {
+    import graft.format._
+    val m = BtrManifest(
+      Seq(ColumnMeta("a\"b", 0), ColumnMeta("content", 2)),
+      numPartitions = 4, blockSize = 65536, maxCascadeDepth = 3,
+      numRows = 123456789L, rawBytes = 1000L, encBytes = 250L,
+      completedPartitions = Seq(0, 2))
+    val back = BtrManifest.fromJson(BtrManifest.toJson(m))
+    assert(back == m)
+    assert(back.ratio == 4.0)
+  }
+}
