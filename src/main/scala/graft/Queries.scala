@@ -117,6 +117,33 @@ object Queries {
     BtrTable.stats(s, out).withColumn("schemes", to_json(col("schemes")))
   }
 
+  // ------------------------------------------- Catalyst expression surface
+
+  /** Column-API expressions: chunk ints into arrays, encode→decode→explode.
+    * Oracle = identity SELECT, so the expression layer is driver-verified.
+    */
+  private def rtExprInt(s: SparkSession, dir: String): DataFrame = {
+    import graft.expr.BtrFunctions._
+    t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(collect_list(col("l_linenumber")).as("xs"))
+      .select(
+        col("l_orderkey"),
+        explode(btr_decode_int(btr_encode_int(col("xs")))).as("l_linenumber"))
+  }
+
+  /** Same through the SQL registration path (reference's `query` CLI analog,
+    * /root/reference/src/bin/btr.rs:137-152, with btr functions in scope).
+    */
+  private def rtExprSql(s: SparkSession, dir: String): DataFrame = {
+    graft.expr.BtrFunctions.register(s)
+    t(s, dir, "documents").createOrReplaceTempView("documents_v")
+    s.sql(
+      """SELECT source, explode(btr_decode_string(texts)) AS text FROM
+        |  (SELECT source, btr_encode_string(collect_list(text)) AS texts
+        |   FROM documents_v GROUP BY source)""".stripMargin)
+  }
+
   // -------------------------------------------------- relational (Catalyst)
   // The reference's SQL surface is DataFusion over the decoded scan
   // (/root/reference/src/datafusion.rs:42-74, query CLI src/bin/btr.rs:137-152);
@@ -187,6 +214,8 @@ object Queries {
     "rt_text" -> (rtText _),
     "rt_engine_docs" -> (rtEngine _),
     "enc_stats" -> (encStats _),
+    "rt_expr_int" -> (rtExprInt _),
+    "rt_expr_sql" -> (rtExprSql _),
     "q1_agg" -> (q1Agg _),
     "q_filter" -> (qFilter _),
     "q_join" -> (qJoin _),
@@ -202,6 +231,8 @@ object Queries {
     "rt_engine_docs" ->
       ("SELECT CAST(doc_id AS INTEGER) AS doc_id, text, lang, source, " +
         "CAST(n_chars AS INTEGER) AS n_chars FROM documents"),
+    "rt_expr_int" -> "SELECT l_orderkey, l_linenumber FROM lineitem",
+    "rt_expr_sql" -> "SELECT source, text FROM documents",
     "q1_agg" ->
       ("SELECT l_returnflag, l_linestatus, " +
         "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
