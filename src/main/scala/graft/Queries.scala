@@ -2,6 +2,7 @@ package graft
 
 import graft.codec._
 import graft.engine.BtrTable
+import graft.ops.{DedupOps, MultimodalOps, SimilarityOps, StreamingOps, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -205,6 +206,100 @@ object Queries {
       .unionAll(c.except(sup).withColumn("op", lit("except")))
   }
 
+  // -------------------------------------------- training-data pipeline ops
+
+  private def docsWithId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id").cast("long").as("doc_id"), col("text"))
+
+  /** First 20 docs duplicated (with a small tail edit) under doc_id+10^6 —
+    * a deterministic planted near-dup set so dedup operators always have
+    * positives to find on the otherwise-unique sf tables.
+    */
+  private def withPlantedDups(docs: DataFrame): DataFrame = {
+    val planted = docs.filter(col("doc_id") < 20)
+      .select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" near dup tail")).as("text"))
+    docs.unionAll(planted)
+  }
+
+  private def textTokens(s: SparkSession, dir: String): DataFrame =
+    docsWithId(s, dir).select(
+      col("doc_id"),
+      TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+
+  private def textQuality(s: SparkSession, dir: String): DataFrame =
+    TextOps.quality(docsWithId(s, dir), "text")
+      .select("doc_id", "n_tokens", "letter_ratio", "punct_ratio",
+        "stopword_ratio", "mean_token_len")
+
+  private def textLangid(s: SparkSession, dir: String): DataFrame =
+    docsWithId(s, dir).select(
+      col("doc_id"),
+      TextOps.languageId(col("text")).as("lang_pred"))
+
+  private def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    docsWithId(s, dir).select(
+      col("doc_id"),
+      TextOps.fingerprint(col("text")).as("fp_rolling"))
+
+  private def textMd5(s: SparkSession, dir: String): DataFrame =
+    docsWithId(s, dir).select(col("doc_id"), md5(col("text")).as("fp_md5"))
+
+  private def dedupExact(s: SparkSession, dir: String): DataFrame =
+    DedupOps.exactDedup(withPlantedDups(docsWithId(s, dir)), "doc_id", "text")
+
+  private def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    DedupOps.minhashPairs(withPlantedDups(docsWithId(s, dir)), "doc_id", "text",
+      shingleK = 5, threshold = 0.6)
+
+  private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    DedupOps.simhashPairs(withPlantedDups(docsWithId(s, dir)), "doc_id", "text")
+
+  private def dedupNgram(s: SparkSession, dir: String): DataFrame = {
+    val docs = withPlantedDups(docsWithId(s, dir))
+    val pairs = docs.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 1000000L).as("id_b"))
+    DedupOps.ngramJaccard(pairs, docs, "doc_id", "text", shingleK = 3)
+  }
+
+  private def embWithPlanted(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    emb.unionAll(emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+  }
+
+  private def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    DedupOps.embeddingPairs(embWithPlanted(s, dir), "vec_id", "embedding",
+      threshold = 0.999)
+
+  private def annBrute(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    SimilarityOps.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+  }
+
+  private def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    SimilarityOps.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+  }
+
+  private def mmMeta(s: SparkSession, dir: String): DataFrame =
+    MultimodalOps.mediaFromDocuments(t(s, dir, "documents"))
+      .select(
+        col("media_id"), col("kind"),
+        length(col("payload")).cast("long").as("payload_bytes"),
+        col("meta.width").as("width"), col("meta.height").as("height"))
+
+  private def mmFeatures(s: SparkSession, dir: String): DataFrame =
+    MultimodalOps.extractFeatures(
+      MultimodalOps.mediaFromDocuments(t(s, dir, "documents")))
+
+  private def streamWindow(s: SparkSession, dir: String): DataFrame =
+    StreamingOps.windowedEventCounts(s, dir)
+
+  private def streamSessions(s: SparkSession, dir: String): DataFrame =
+    StreamingOps.userSessions(s, dir)
+
   // ----------------------------------------------------------------- expose
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -221,7 +316,23 @@ object Queries {
     "q_join" -> (qJoin _),
     "q_topk" -> (qTopk _),
     "q_window" -> (qWindow _),
-    "q_setop" -> (qSetop _))
+    "q_setop" -> (qSetop _),
+    "text_tokens" -> (textTokens _),
+    "text_quality" -> (textQuality _),
+    "text_langid" -> (textLangid _),
+    "text_fingerprint" -> (textFingerprint _),
+    "text_md5" -> (textMd5 _),
+    "dedup_exact" -> (dedupExact _),
+    "dedup_minhash" -> (dedupMinhash _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_ngram" -> (dedupNgram _),
+    "dedup_embedding" -> (dedupEmbedding _),
+    "ann_brute" -> (annBrute _),
+    "ann_lsh" -> (annLsh _),
+    "mm_meta" -> (mmMeta _),
+    "mm_features" -> (mmFeatures _),
+    "stream_window" -> (streamWindow _),
+    "stream_sessions" -> (streamSessions _))
 
   val oracles: Map[String, String] = Map(
     "rt_int" -> "SELECT l_orderkey, l_linenumber FROM lineitem",
@@ -262,5 +373,49 @@ object Queries {
         "UNION ALL " +
         "SELECT nationkey, 'except' AS op FROM " +
         "(SELECT DISTINCT c_nationkey AS nationkey FROM customer " +
-        "EXCEPT SELECT DISTINCT s_nationkey AS nationkey FROM supplier)"))
+        "EXCEPT SELECT DISTINCT s_nationkey AS nationkey FROM supplier)"),
+    "text_tokens" ->
+      ("SELECT CAST(doc_id AS BIGINT) AS doc_id, " +
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens " +
+        "FROM documents"),
+    "text_quality" ->
+      ("SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens, " +
+        "round(CAST(letters AS DOUBLE) / greatest(n, 1), 4) AS letter_ratio, " +
+        "round(CAST(punct AS DOUBLE) / greatest(n, 1), 4) AS punct_ratio, " +
+        "round(CAST(stop_hits AS DOUBLE) / greatest(n_tokens, 1), 4) AS stopword_ratio, " +
+        "round(CAST(nospace AS DOUBLE) / greatest(n_tokens, 1), 4) AS mean_token_len " +
+        "FROM (SELECT doc_id, length(text) AS n, " +
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens, " +
+        "length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS letters, " +
+        "length(regexp_replace(text, '[^.,;:!?''\"()\\[\\]{}-]', '', 'g')) AS punct, " +
+        "length(regexp_replace(text, '\\s', '', 'g')) AS nospace, " +
+        "len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), " +
+        "w -> w IN ('the','a','an','and','or','of','to','in','is','it','that'," +
+        "'for','on','with','as','are','was','at','by','be'))) AS stop_hits " +
+        "FROM documents)"),
+    "text_md5" ->
+      "SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS fp_md5 FROM documents",
+    "dedup_exact" ->
+      ("SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, COUNT(*) AS n_dupes FROM " +
+        "(SELECT doc_id, text FROM documents UNION ALL " +
+        " SELECT doc_id + 1000000, text || ' near dup tail' FROM documents WHERE doc_id < 20) " +
+        "GROUP BY text"),
+    "mm_meta" ->
+      ("SELECT CAST(doc_id AS BIGINT) AS media_id, " +
+        "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, " +
+        "CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes, " +
+        "CAST((doc_id % 64) * 16 + 16 AS INT) AS width, " +
+        "CAST((doc_id % 48) * 16 + 16 AS INT) AS height " +
+        "FROM documents"),
+    "stream_window" ->
+      ("SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS VARCHAR) AS window_start, " +
+        "event_type, COUNT(*) AS n_events, MIN(value) AS min_value, MAX(value) AS max_value " +
+        "FROM events GROUP BY 1, 2"),
+    "stream_sessions" ->
+      ("SELECT user_id, CAST(1 + COALESCE(SUM(CASE WHEN gap > 1800000000 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_sessions, " +
+        "COUNT(*) AS n_events FROM " +
+        "(SELECT user_id, epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap FROM events) " +
+        "GROUP BY user_id"))
 }

@@ -1,0 +1,285 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for training-data pipelines, each designed
+  * around ONE banding/bucket shuffle instead of any O(n²) comparison —
+  * the only shape that survives 10^12 documents:
+  *
+  *  - exact:   hash-groupBy on content (full shuffle of keys only)
+  *  - minhash: shingle → minhash signature → LSH bands → bucket join →
+  *             verify exact Jaccard on candidates only
+  *  - simhash: 64-bit weighted token hash → 4×16-bit block banding
+  *             (pigeonhole: hamming ≤ 3 ⇒ one block equal) → verify
+  *  - embedding: random-hyperplane sign LSH → bucket → verify cosine
+  *
+  * Every step is deterministic (seeded hash families) so resumed runs and
+  * oracle checks see identical pairs.
+  */
+object DedupOps {
+
+  @inline private def mix64(x0: Long): Long = {
+    var x = x0
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  // ----------------------------------------------------------------- exact
+
+  /** Keep the lowest id per distinct content; adds n_dupes. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dupes"))
+      .select(col(idCol), col("n_dupes"))
+
+  // --------------------------------------------------------------- minhash
+
+  /** Character shingles of length k as a long-hash set. */
+  def shingles(text: String, k: Int): Array[Long] = {
+    if (text.length < k) return Array(mix64(text.hashCode.toLong))
+    val set = new java.util.HashSet[java.lang.Long]()
+    var i = 0
+    while (i + k <= text.length) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < k) { h = (h ^ text.charAt(i + j)) * 0x100000001b3L; j += 1 }
+      set.add(mix64(h))
+      i += 1
+    }
+    val out = new Array[Long](set.size())
+    val it = set.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    out
+  }
+
+  /** numHashes-minhash signature via the one-permutation trick family
+    * h_i(x) = mix(x ^ seed_i) (distinct seeded functions).
+    */
+  def minhashSignature(sh: Array[Long], numHashes: Int, seed: Long): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < sh.length) {
+      var f = 0
+      while (f < numHashes) {
+        val h = mix64(sh(i) ^ mix64(seed + f))
+        if (h < sig(f)) sig(f) = h
+        f += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  def jaccard(a: Array[Long], b: Array[Long]): Double = {
+    val sa = new java.util.HashSet[java.lang.Long]()
+    a.foreach(sa.add(_))
+    var inter = 0
+    val sb = new java.util.HashSet[java.lang.Long]()
+    b.foreach { x => if (sb.add(x) && sa.contains(x)) inter += 1 }
+    val union = sa.size() + sb.size() - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  /** Near-duplicate pairs by MinHash+LSH: `bands` bands of `rows` hashes;
+    * a pair collides if any band matches; collisions are verified with the
+    * exact shingle Jaccard (no false positives leave this operator).
+    * Returns (id_a, id_b, jaccard) with id_a < id_b.
+    */
+  def minhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 5,
+      bands: Int = 16,
+      rowsPerBand: Int = 8,
+      threshold: Double = 0.7,
+      seed: Long = 42L): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sigs = df
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val sh = shingles(text, shingleK)
+        (id, minhashSignature(sh, numHashes, seed))
+      }
+      .toDF("id", "sig")
+      .cache()
+
+    // band key = hash of the band's slice of the signature
+    val banded = sigs.select(
+      col("id"),
+      explode(array((0 until bands).map { b =>
+        struct(
+          lit(b).as("band"),
+          hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bkey"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+
+    val cand = banded.as("l")
+      .join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+
+    // verify candidates with exact jaccard over shingles (recompute on the
+    // candidate set only — avoids shipping full shingle sets through LSH)
+    val texts = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    val verified = cand
+      .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("text", "text_a"), "id_a")
+      .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("text", "text_b"), "id_b")
+      .select("id_a", "id_b", "text_a", "text_b") // joins reorder join keys first
+      .as[(Long, Long, String, String)]
+      .map { case (a, b, ta, tb) =>
+        (a, b, jaccard(shingles(ta, shingleK), shingles(tb, shingleK)))
+      }
+      .toDF("id_a", "id_b", "jaccard")
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    verified
+  }
+
+  /** Exact n-gram Jaccard similarity for given candidate pairs (id_a,id_b). */
+  def ngramJaccard(
+      pairs: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val texts = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    pairs
+      .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("text", "text_a"), "id_a")
+      .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("text", "text_b"), "id_b")
+      .select("id_a", "id_b", "text_a", "text_b")
+      .as[(Long, Long, String, String)]
+      .map { case (a, b, ta, tb) =>
+        (a, b, jaccard(shingles(ta, shingleK), shingles(tb, shingleK)))
+      }
+      .toDF("id_a", "id_b", "jaccard")
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  // --------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over whitespace tokens (unit weights). */
+  def simhash64(text: String): Long = {
+    val counts = new Array[Int](64)
+    var start = 0
+    val n = text.length
+    var i = 0
+    while (i <= n) {
+      if (i == n || Character.isWhitespace(text.charAt(i))) {
+        if (i > start) {
+          var h = 0xcbf29ce484222325L
+          var j = start
+          while (j < i) { h = (h ^ text.charAt(j)) * 0x100000001b3L; j += 1 }
+          h = mix64(h)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+            b += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= 1L << b; b += 1 }
+    out
+  }
+
+  /** Near-duplicate pairs with hamming(simhash) <= maxHamming (< 4): band
+    * the 64-bit hash into 4×16-bit blocks; pigeonhole guarantees one equal
+    * block, so the bucket join finds all such pairs; verify exact hamming.
+    */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4, "4×16-bit banding covers hamming <= 3")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hashed = df
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, t) => (id, simhash64(t)) }
+      .toDF("id", "sh")
+      .cache()
+    val banded = hashed.select(
+      col("id"), col("sh"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sh"), b * 16).bitwiseAND(lit(0xffffL)).as("block"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("sh"), col("bk.band").as("band"), col("bk.block").as("block"))
+    banded.as("l")
+      .join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.block") === col("r.block") &&
+          col("l.id") < col("r.id"))
+      .select(
+        col("l.id").as("id_a"), col("r.id").as("id_b"),
+        bit_count(col("l.sh").bitwiseXOR(col("r.sh"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ------------------------------------------------------------- embedding
+
+  /** Near-duplicate vector pairs by cosine >= threshold, candidates from
+    * random-hyperplane sign LSH (`planes` bits, bucket join), verified
+    * exactly. Embeddings are Array[Float] columns.
+    */
+  def embeddingPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.95,
+      planes: Int = 12,
+      seed: Long = 7L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .as[(Long, Array[Float])]
+      .cache()
+    val dim = vecs.head()._2.length
+    val rnd = new scala.util.Random(seed)
+    val hyper = Array.fill(planes, dim)(rnd.nextGaussian())
+    val hyperB = spark.sparkContext.broadcast(hyper)
+
+    val sigDf = vecs.map { case (id, v) =>
+      val h = hyperB.value
+      var sig = 0
+      var p = 0
+      while (p < planes) {
+        var dot = 0.0
+        var i = 0
+        while (i < v.length) { dot += h(p)(i) * v(i); i += 1 }
+        if (dot >= 0) sig |= 1 << p
+        p += 1
+      }
+      (id, v, sig)
+    }.toDF("id", "v", "sig")
+
+    val cand = sigDf.as("l")
+      .join(sigDf.as("r"), col("l.sig") === col("r.sig") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("l.v").as("va"),
+        col("r.id").as("id_b"), col("r.v").as("vb"))
+
+    cand.as[(Long, Array[Float], Long, Array[Float])]
+      .map { case (a, va, b, vb) => (a, b, SimilarityOps.cosine(va, vb)) }
+      .toDF("id_a", "id_b", "cosine")
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+  }
+}

@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an Array[Float] embedding
+  * column.
+  *
+  * Baseline: brute-force cosine top-k — ONE scan of the corpus with the
+  * (small) query set broadcast and a per-partition bounded heap, so the
+  * shuffle carries only numQueries × k candidate rows, never the corpus.
+  * Scale path: random-hyperplane LSH bucketing — probe only the query's
+  * bucket (plus multiprobe neighbors), trading recall for a corpus-fraction
+  * scan.
+  */
+object SimilarityOps {
+
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      dot += a(i).toDouble * b(i)
+      na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i)
+      i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** Exact top-k by cosine for each query vector.
+    * Queries are collected + broadcast (they must be small — that is the
+    * premise of broadcast ANN); corpus streams through mapPartitions with a
+    * k-bounded heap per query, then a final per-query top-k merge.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qs: Array[(Long, Array[Float])] = queries
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .collect()
+    val qsB = spark.sparkContext.broadcast(qs)
+
+    val partials = corpus
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val queries = qsB.value
+        // per-query bounded min-heap of (cosine, corpusId)
+        val heaps = Array.fill(queries.length)(
+          new java.util.PriorityQueue[(Double, Long)](
+            k, (x: (Double, Long), y: (Double, Long)) => java.lang.Double.compare(x._1, y._1)))
+        it.foreach { case (cid, cvec) =>
+          var q = 0
+          while (q < queries.length) {
+            val c = cosine(queries(q)._2, cvec)
+            val h = heaps(q)
+            if (h.size < k) h.add((c, cid))
+            else if (c > h.peek()._1) { h.poll(); h.add((c, cid)) }
+            q += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, q) =>
+          val qid = qsB.value(q)._1
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          while (!h.isEmpty) { val (c, cid) = h.poll(); buf += ((qid, cid, c)) }
+          buf
+        }
+      }
+      .toDF("query_id", "corpus_id", "cosine")
+
+    // merge per-partition partials to the global top-k per query
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    partials
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"),
+        round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
+
+  /** LSH-bucketed ANN: random-hyperplane signatures bucket the corpus; each
+    * query probes its own bucket and all hamming-1 neighbor buckets
+    * (multiprobe), then exact top-k within candidates. Recall < 1, cost ≈
+    * (planes+1)/2^planes of the corpus per query.
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      planes: Int = 10,
+      seed: Long = 7L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val corpusVecs = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+    val dim = corpusVecs.head()._2.length
+    val rnd = new scala.util.Random(seed)
+    val hyper = Array.fill(planes, dim)(rnd.nextGaussian())
+    val hyperB = spark.sparkContext.broadcast(hyper)
+
+    def sigOf(v: Array[Float]): Int = {
+      val h = hyperB.value
+      var sig = 0
+      var p = 0
+      while (p < planes) {
+        var dot = 0.0
+        var i = 0
+        while (i < v.length) { dot += h(p)(i) * v(i); i += 1 }
+        if (dot >= 0) sig |= 1 << p
+        p += 1
+      }
+      sig
+    }
+
+    val bucketed = corpusVecs.map { case (id, v) => (id, v, sigOf(v)) }
+      .toDF("corpus_id", "cvec", "sig")
+
+    // each query probes its bucket + hamming-1 buckets
+    val qProbes = queries.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .flatMap { case (qid, qv) =>
+        val s = sigOf(qv)
+        (Seq(s) ++ (0 until planes).map(b => s ^ (1 << b))).map(p => (qid, qv, p))
+      }
+      .toDF("query_id", "qvec", "sig")
+
+    val cand = qProbes.join(bucketed, "sig")
+      .as[(Int, Long, Array[Float], Long, Array[Float])]
+      .map { case (_, qid, qv, cid, cv) => (qid, cid, cosine(qv, cv)) }
+      .toDF("query_id", "corpus_id", "cosine")
+      .dropDuplicates("query_id", "corpus_id")
+
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"),
+        round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
+}
