@@ -136,6 +136,11 @@ final class FsstTable(val symbols: Array[Array[Byte]]) {
   private val hcodes = new Array[Short](Cap)
   /** max symbol length starting with each first byte (probe limiter) */
   private val firstByteMax = new Array[Byte](256)
+  /** bit l-1 set iff some symbol of length l starts with that byte — the
+    * probe loop visits only lengths that exist (code text mostly has 2-4
+    * byte symbols; blind 8..1 probing wastes ~half the encode time)
+    */
+  private val lenMask = new Array[Int](256)
 
   {
     var c = 0
@@ -147,6 +152,7 @@ final class FsstTable(val symbols: Array[Array[Byte]]) {
       hkeys(h) = key; hlens(h) = s.length.toByte; hcodes(h) = c.toShort
       val fb = s(0) & 0xff
       if (s.length > firstByteMax(fb)) firstByteMax(fb) = s.length.toByte
+      lenMask(fb) |= 1 << (s.length - 1)
       c += 1
     }
   }
@@ -186,21 +192,24 @@ final class FsstTable(val symbols: Array[Array[Byte]]) {
     val end = off + len
     var pos = off
     while (pos < end) {
-      val maxHere = math.min(firstByteMax(data(pos) & 0xff).toInt, end - pos)
+      val fb = data(pos) & 0xff
+      val maxHere = math.min(firstByteMax(fb).toInt, end - pos)
       var code = -1
       var adv = 1
       if (maxHere > 0) {
         val full = Fsst.pack(data, pos, maxHere)
-        var l = maxHere
-        while (code < 0 && l >= 1) {
+        // probe longest-first, but only lengths that exist for this byte
+        var mask = lenMask(fb) & ((1 << maxHere) - 1)
+        while (code < 0 && mask != 0) {
+          val l = 32 - java.lang.Integer.numberOfLeadingZeros(mask) // highest set bit + 1
           val key = if (l == 8) full else full & ((1L << (8 * l)) - 1)
           val c = lookup(key, l)
           if (c >= 0) { code = c; adv = l }
-          l -= 1
+          mask &= ~(1 << (l - 1))
         }
       }
       if (code >= 0) out.u8(code)
-      else { out.u8(Fsst.EscapeCode); out.u8(data(pos) & 0xff) }
+      else { out.u8(Fsst.EscapeCode); out.u8(fb) }
       pos += adv
     }
     out.size - before
