@@ -206,6 +206,19 @@ object Queries {
       .unionAll(c.except(sup).withColumn("op", lit("except")))
   }
 
+  /** Zone-map pruned scan + row filter: only chunks whose doc_id min/max
+    * intersects [100, 199] are decoded (the data-skipping extension; the
+    * reference scan decodes everything). Oracle = plain WHERE.
+    */
+  private def qPrune(s: SparkSession, dir: String): DataFrame = {
+    val out = s"file:/root/repo/target/tmp/q_prune_${math.abs(dir.hashCode)}"
+    val docs = t(s, dir, "documents").select(
+      col("doc_id").cast("int").as("doc_id"), col("lang"), col("source"))
+    BtrTable.write(docs, out, BtrConfig.default, rangeCols = Seq("doc_id"))
+    BtrTable.loadPruned(s, out, "doc_id", 100, 199)
+      .filter(col("doc_id").between(100, 199))
+  }
+
   // -------------------------------------------- training-data pipeline ops
 
   private def docsWithId(s: SparkSession, dir: String): DataFrame =
@@ -317,6 +330,7 @@ object Queries {
     "q_topk" -> (qTopk _),
     "q_window" -> (qWindow _),
     "q_setop" -> (qSetop _),
+    "q_prune" -> (qPrune _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
@@ -374,6 +388,9 @@ object Queries {
         "SELECT nationkey, 'except' AS op FROM " +
         "(SELECT DISTINCT c_nationkey AS nationkey FROM customer " +
         "EXCEPT SELECT DISTINCT s_nationkey AS nationkey FROM supplier)"),
+    "q_prune" ->
+      ("SELECT CAST(doc_id AS INTEGER) AS doc_id, lang, source FROM documents " +
+        "WHERE doc_id BETWEEN 100 AND 199"),
     "text_tokens" ->
       ("SELECT CAST(doc_id AS BIGINT) AS doc_id, " +
         "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +

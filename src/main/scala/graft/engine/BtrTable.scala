@@ -144,6 +144,39 @@ object BtrTable {
   def load(spark: SparkSession, dir: String, columns: Seq[String] = Nil): DataFrame =
     BtrDecoder.load(spark, dir, columns)
 
+  /** Zone-map pruned load: decode only chunks whose per-part min/max on
+    * `pruneCol` intersects [lo, hi]. This is the data-skipping extension
+    * the reference's scan lacks entirely
+    * (/root/reference/src/datafusion.rs:64-73 ignores filters): the
+    * predicate reaches the parts parquet scan as min/max filters, so
+    * non-matching chunks' compressed bytes are never read or decoded.
+    * The caller still applies the row-level filter on the result —
+    * pruning is an IO/decode optimization, not the filter itself.
+    */
+  def loadPruned(
+      spark: SparkSession,
+      dir: String,
+      pruneCol: String,
+      lo: Long,
+      hi: Long,
+      columns: Seq[String] = Nil): DataFrame = {
+    import spark.implicits._
+    val manifest = readManifest(spark, dir)
+    val selected =
+      if (columns.isEmpty) manifest.columns
+      else manifest.columns.filter(c => columns.contains(c.name))
+    val allParts = parts(spark, dir)
+    // chunk keys whose zone map intersects the range (filter pushed to parquet)
+    val keys = allParts
+      .filter(col("colName") === pruneCol &&
+        !(col("maxLong") < lo || col("minLong") > hi))
+      .select(col("partitionId"), col("chunkIdx"))
+      .distinct()
+    val pruned = allParts.join(broadcast(keys), Seq("partitionId", "chunkIdx"), "left_semi")
+      .as[graft.format.CompressedPart]
+    BtrDecoder.decode(pruned, selected)
+  }
+
   def parts(spark: SparkSession, dir: String): Dataset[CompressedPart] = {
     import spark.implicits._
     spark.read.parquet(s"$dir/parts").as[CompressedPart]
