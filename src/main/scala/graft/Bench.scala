@@ -37,27 +37,54 @@ object Bench {
     * Prints "BENCH_ENCODE <sec> <rawBytes> <encBytes>".
     */
   private def encodeChild(cores: Int, inputDir: String, outDir: String): Unit = {
-    val spark = session(cores)
+    // FIXED task layout across parallelism levels (64 shuffle partitions):
+    // an N-vs-4N-executor comparison varies resources, not the job shape.
+    // partitions = cores would give the 2-core level 16x larger tasks with
+    // different GC behavior and corrupt the scaling measurement.
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
     // warmup (JIT + page cache), then best-of-2 to shed sandbox noise;
     // outputs land on tmpfs (outDir) so disk-write variance doesn't pollute
     // the CPU-throughput measurement
     BtrTable.write(spark.read.parquet(inputDir), s"$outDir/warm",
       BtrConfig.default, rangeCols = Seq("repo", "path"))
+    def rmOut(i: Int): Unit =
+      org.apache.hadoop.fs.FileSystem.get(new java.net.URI(outDir),
+        spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(s"$outDir/run$i"), true)
+    val reps = if (cores <= 2) 2 else 3 // sandbox noise reaches 2-3x; take best
+    // mode 1: full pipeline with the explicit repartitionByRange exchange
     var best = Double.MaxValue
     var raw = 0L
     var enc = 0L
-    for (i <- 0 until 2) {
+    for (i <- 0 until reps) {
       val df = spark.read.parquet(inputDir)
       val t0 = System.nanoTime()
       val m = BtrTable.write(df, s"$outDir/run$i", BtrConfig.default, rangeCols = Seq("repo", "path"))
       val sec = (System.nanoTime() - t0) / 1e9
       if (sec < best) { best = sec; raw = m.rawBytes; enc = m.encBytes }
-      // free tmpfs between reps
-      org.apache.hadoop.fs.FileSystem.get(new java.net.URI(outDir),
-        spark.sparkContext.hadoopConfiguration)
-        .delete(new org.apache.hadoop.fs.Path(s"$outDir/run$i"), true)
+      rmOut(i)
     }
-    println(s"BENCH_ENCODE $best $raw $enc")
+    // mode 2: map-side encode, zero shuffle — the shape of a 100 TB run
+    // whose Iceberg input is already partitioned on (repo, path); isolates
+    // engine scaling from Spark exchange machinery
+    var bestMap = Double.MaxValue
+    for (i <- 0 until reps) {
+      val df = spark.read.parquet(inputDir)
+      val t0 = System.nanoTime()
+      BtrTable.write(df, s"$outDir/run$i", BtrConfig.default)
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (sec < bestMap) bestMap = sec
+      rmOut(i)
+    }
+    println(s"BENCH_ENCODE $best $raw $enc $bestMap")
     spark.stop()
   }
 
@@ -72,7 +99,7 @@ object Bench {
     .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
   /** Fork a child JVM running `graft.Bench encode <cores> <in> <out>`. */
-  private def forkEncode(cores: Int, inputDir: String, outDir: String): (Double, Long, Long) = {
+  private def forkEncode(cores: Int, inputDir: String, outDir: String): (Double, Long, Long, Double) = {
     val java = s"${System.getProperty("java.home")}/bin/java"
     val cp = System.getProperty("java.class.path")
     val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")
@@ -89,7 +116,7 @@ object Bench {
       sys.error(s"child encode run failed (exit $code)")
     }
     val parts = line.split(" ")
-    (parts(1).toDouble, parts(2).toLong, parts(3).toLong)
+    (parts(1).toDouble, parts(2).toLong, parts(3).toLong, parts(4).toDouble)
   }
 
   def main(args: Array[String]): Unit = {
@@ -125,15 +152,17 @@ object Bench {
     // adding executors (which bring their own memory buses). The (8, 4N)
     // pair is reported too: it is bandwidth-confounded on one box.
     val coresLow = math.max(1, cpus / 16)
-    val (secLow, _, _) = forkEncode(coresLow, inputDir, s"$base/low")
-    val (secN, rawBytes, _) = forkEncode(coresN, inputDir, s"$base/n")
-    val (sec4N, _, encBytes) = forkEncode(cpus, inputDir, s"$base/4n")
+    val (secLow, _, _, secLowMap) = forkEncode(coresLow, inputDir, s"$base/low")
+    val (secN, rawBytes, _, secNMap) = forkEncode(coresN, inputDir, s"$base/n")
+    val (sec4N, _, encBytes, sec4NMap) = forkEncode(cpus, inputDir, s"$base/4n")
     val gb = rawBytes / 1e9
     val gbpsLow = gb / secLow
     val gbpsN = gb / secN
     val gbps4N = gb / sec4N
     val effLow = (gbpsN / gbpsLow) / (coresN.toDouble / coresLow)
     val eff = (gbps4N / gbpsN) / (cpus.toDouble / coresN)
+    val effMapLow = (secLowMap / secNMap) / (coresN.toDouble / coresLow)
+    val effMap = (secNMap / sec4NMap) / (cpus.toDouble / coresN)
     val ratio = rawBytes.toDouble / encBytes
 
     // phase 2: per-query timings at 4N cores (fresh context in this JVM)
@@ -151,8 +180,11 @@ object Bench {
     val enc =
       f"""{"cores_n":$coresN,"gbps_n":$gbpsN%.4f,"cores_4n":$cpus,"gbps_4n":$gbps4N%.4f,""" +
         f""""cores_low":$coresLow,"gbps_low":$gbpsLow%.4f,""" +
-        f""""scaling_efficiency":$effLow%.3f,"scaling_basis":"${coresLow}->${coresN} cores (below single-host memory-bandwidth wall; see BENCH.md)",""" +
-        f""""scaling_efficiency_n_4n":$eff%.3f,"compression_ratio":$ratio%.3f,""" +
+        f""""scaling_efficiency":$effLow%.3f,"scaling_basis":"${coresLow}->${coresN} cores, range-exchange pipeline; see BENCH.md",""" +
+        f""""scaling_efficiency_n_4n":$eff%.3f,""" +
+        f""""gbps_mapside_low":${gb / secLowMap}%.4f,"gbps_mapside_n":${gb / secNMap}%.4f,"gbps_mapside_4n":${gb / sec4NMap}%.4f,""" +
+        f""""scaling_efficiency_mapside":$effMapLow%.3f,"scaling_efficiency_mapside_n_4n":$effMap%.3f,""" +
+        f""""compression_ratio":$ratio%.3f,""" +
         f""""input_gb":$gb%.3f,"sec_low":$secLow%.2f,"sec_n":$secN%.2f,"sec_4n":$sec4N%.2f,"rows":$benchRows}"""
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","encode":$enc}""")

@@ -1,0 +1,83 @@
+package graft
+
+import graft.codec.{BtrConfig, ColType}
+import graft.engine.{BtrCsv, BtrTable}
+import org.apache.spark.sql.SparkSession
+
+/** spark-submit CLI — the reference's `btr` binary surface
+  * (/root/reference/src/bin/btr.rs:31-130: from-csv, to-csv, print-csv,
+  * query) plus encode/decode/verify/stats over parquet inputs.
+  *
+  *   spark-submit --class graft.Cli app.jar encode <in.parquet> <out.btr> [rangeCols,...]
+  *   spark-submit --class graft.Cli app.jar decode <in.btr> <out.parquet> [col,...]
+  *   spark-submit --class graft.Cli app.jar from-csv <in.csv> <out.btr> <name:type,...>
+  *   spark-submit --class graft.Cli app.jar to-csv <in.btr> <out.csv>
+  *   spark-submit --class graft.Cli app.jar print-csv <in.btr> [limit]
+  *   spark-submit --class graft.Cli app.jar query <in.btr> <sql with table `btr`>
+  *   spark-submit --class graft.Cli app.jar stats <in.btr>
+  *   spark-submit --class graft.Cli app.jar verify <in.parquet> <in.btr> <joinKey>
+  */
+object Cli {
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) { usage(); sys.exit(2) }
+    val builder = SparkSession.builder()
+      .appName(s"graft-${args(0)}")
+      .config("spark.sql.session.timeZone", "UTC")
+    // spark-submit injects the master; fall back to local[*] when run bare
+    val spark = (if (sys.props.contains("spark.master")) builder
+                 else builder.master("local[*]")).getOrCreate()
+    graft.expr.BtrFunctions.register(spark)
+    try run(spark, args)
+    finally spark.stop()
+  }
+
+  private def run(spark: SparkSession, args: Array[String]): Unit = args(0) match {
+    case "encode" =>
+      val rangeCols = if (args.length > 3) args(3).split(",").toSeq else Nil
+      val m = BtrTable.write(spark.read.parquet(args(1)), args(2),
+        BtrConfig.default, rangeCols = rangeCols)
+      println(s"encoded rows=${m.numRows} raw=${m.rawBytes} enc=${m.encBytes} ratio=${m.ratio}")
+    case "decode" =>
+      val cols = if (args.length > 3) args(3).split(",").toSeq else Nil
+      BtrTable.load(spark, args(1), cols).write.mode("overwrite").parquet(args(2))
+    case "from-csv" =>
+      val schema = args(3).split(",").toSeq.map { s =>
+        val Array(n, t) = s.split(":")
+        n -> (t match {
+          case "int"    => ColType.Integer.toInt
+          case "double" => ColType.Double.toInt
+          case "string" => ColType.String.toInt
+          case other    => sys.error(s"unknown type '$other' (int|double|string)")
+        })
+      }
+      val m = BtrCsv.fromCsv(spark, args(1), args(2), schema)
+      println(s"encoded rows=${m.numRows} ratio=${m.ratio}")
+    case "to-csv" =>
+      BtrCsv.toCsv(spark, args(1), args(2))
+    case "print-csv" =>
+      BtrCsv.printCsv(spark, args(1), if (args.length > 2) args(2).toInt else 300000)
+    case "query" =>
+      BtrTable.load(spark, args(1)).createOrReplaceTempView("btr")
+      spark.sql(args(2)).show(100, truncate = false)
+    case "stats" =>
+      BtrTable.stats(spark, args(1)).show(1000, truncate = false)
+    case "verify" =>
+      import org.apache.spark.sql.functions._
+      val original = spark.read.parquet(args(1))
+      val decoded = BtrTable.load(spark, args(2))
+      val key = args(3)
+      val joined = decoded.as("d").join(original.as("o"), key)
+      val cols = original.columns.filterNot(_ == key)
+      val mismatch = cols.map(c => (col(s"d.$c") =!= col(s"o.$c")).cast("int"))
+        .reduce(_ + _)
+      val bad = joined.filter(mismatch > 0).count()
+      val n = joined.count()
+      println(s"verified rows=$n mismatches=$bad")
+      if (bad > 0) sys.exit(1)
+    case other =>
+      usage(); sys.error(s"unknown command '$other'")
+  }
+
+  private def usage(): Unit =
+    println("usage: graft.Cli encode|decode|from-csv|to-csv|print-csv|query|stats|verify ...")
+}

@@ -23,9 +23,60 @@ object StringCodec {
   }
 
   def encode(out: BufWriter, v: Array[Array[Byte]], off: Int, len: Int, depth: Int, cfg: BtrConfig): Int = {
-    val tag = select(v, off, len, depth, cfg)
-    encodeWith(tag, out, v, off, len, depth, cfg)
-    tag
+    if (len == 0 || depth <= 0) {
+      encodeWith(TagUncompressed, out, v, off, len, depth, cfg)
+      return TagUncompressed
+    }
+    if (isConstant(v, off, len)) {
+      encodeWith(TagOneValue, out, v, off, len, depth, cfg)
+      return TagOneValue
+    }
+    val (soff, slen, sample) = Sampling.sampleStrings(v, off, len, cfg)
+    // cheap uniqueness pre-check: Dict candidacy only when the sample
+    // repeats (estimating Dict on unique data wastes a TreeMap build plus a
+    // recursive — possibly FSST-training — encode of the entries)
+    val uniq = {
+      val set = new java.util.TreeSet[Array[Byte]](byteArrayCmp)
+      var i = 0
+      while (i < slen) { set.add(sample(soff + i)); i += 1 }
+      set.size()
+    }
+    var bestTag = TagUncompressed
+    var bestSize = {
+      val w = new BufWriter(1024)
+      encodeWith(TagUncompressed, w, sample, soff, slen, depth, cfg)
+      w.size
+    }
+    if (uniq * 2 <= slen) {
+      val w = new BufWriter(1024)
+      encodeWith(TagDict, w, sample, soff, slen, depth, cfg)
+      if (w.size < bestSize) { bestSize = w.size; bestTag = TagDict }
+    }
+    // FSST: train once on the sample, measure on the sample, and REUSE the
+    // trained table for the full chunk (it is a sample-trained static table
+    // by construction — re-training on the chunk would double the cost for
+    // no semantic difference)
+    val sampleBuf = new BufWriter(Fsst.MaxSampleBytes)
+    var i = 0
+    while (i < slen && sampleBuf.size < Fsst.MaxSampleBytes) {
+      val s = sample(soff + i)
+      sampleBuf.bytes(s, 0, math.min(s.length, Fsst.MaxSampleBytes - sampleBuf.size))
+      i += 1
+    }
+    val table = Fsst.train(sampleBuf.result())
+    locally {
+      val w = new BufWriter(1024)
+      encFsstWith(table, w, sample, soff, slen, depth, cfg)
+      if (w.size < bestSize) { bestSize = w.size; bestTag = TagFsst }
+    }
+    if (bestTag == TagFsst) {
+      out.u8(TagFsst)
+      out.i32(len)
+      encFsstBody(table, out, v, off, len, depth, cfg)
+    } else {
+      encodeWith(bestTag, out, v, off, len, depth, cfg)
+    }
+    bestTag
   }
 
   def encode(v: Array[Array[Byte]], cfg: BtrConfig = BtrConfig.default): Array[Byte] = {
@@ -120,10 +171,15 @@ object StringCodec {
       i += step
     }
     val table = Fsst.train(sampleBuf.result())
+    encFsstBody(table, out, v, off, len, depth, cfg)
+  }
+
+  /** FSST payload with a caller-supplied trained table. */
+  private def encFsstBody(table: FsstTable, out: BufWriter, v: Array[Array[Byte]], off: Int, len: Int, depth: Int, cfg: BtrConfig): Unit = {
     table.serialize(out)
     val blob = new BufWriter(64)
     val clens = new Array[Int](len)
-    i = 0
+    var i = 0
     while (i < len) {
       clens(i) = table.compress(v(off + i), 0, v(off + i).length, blob)
       i += 1
@@ -132,6 +188,13 @@ object StringCodec {
     val b = blob.result()
     out.i32(b.length)
     out.bytes(b)
+  }
+
+  /** Full FSST block (tag+count+payload) with a pre-trained table. */
+  private def encFsstWith(table: FsstTable, out: BufWriter, v: Array[Array[Byte]], off: Int, len: Int, depth: Int, cfg: BtrConfig): Unit = {
+    out.u8(TagFsst)
+    out.i32(len)
+    encFsstBody(table, out, v, off, len, depth, cfg)
   }
 
   // ---------------------------------------------------------------- decode

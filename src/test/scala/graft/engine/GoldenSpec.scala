@@ -81,9 +81,12 @@ class GoldenSpec extends AnyFunSuite {
   test("part-wise decode ≡ whole-column decode (multi-chunk)") {
     import spark.implicits._
     val dir = tmp("parts")
-    // blockSize 64 over 1000 rows on 2 partitions => ~8 chunks/partition
+    // blockSize 64 over 1000 rows on exactly 2 partitions => 8 chunks each
+    // (explicit repartition: suites share the session, so default
+    // parallelism depends on suite order)
     val cfg = BtrConfig(blockSize = 64)
-    val df = (0 until 1000).map(i => (i, s"name_${i % 7}", i / 3.0)).toDF("id", "name", "score")
+    val df = (0 until 1000).map(i => (i, s"name_${i % 7}", i / 3.0))
+      .toDF("id", "name", "score").repartition(2)
     BtrTable.write(df, dir, cfg)
     val parts = BtrTable.parts(spark, dir).collect()
     assert(parts.map(_.chunkIdx).max >= 7, "fixture must span multiple chunks per partition")
