@@ -296,6 +296,11 @@ object Queries {
     SimilarityOps.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
   }
 
+  private def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    SimilarityOps.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+  }
+
   private def mmMeta(s: SparkSession, dir: String): DataFrame =
     MultimodalOps.mediaFromDocuments(t(s, dir, "documents"))
       .select(
@@ -343,6 +348,7 @@ object Queries {
     "dedup_embedding" -> (dedupEmbedding _),
     "ann_brute" -> (annBrute _),
     "ann_lsh" -> (annLsh _),
+    "ann_ivf" -> (annIvf _),
     "mm_meta" -> (mmMeta _),
     "mm_features" -> (mmFeatures _),
     "stream_window" -> (streamWindow _),

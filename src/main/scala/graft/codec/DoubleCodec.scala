@@ -170,20 +170,29 @@ object DoubleCodec {
     val exps = new Array[Int](len)
     val digs = new Array[Int](len)
     var nExc = 0
+    var lastExp = 2 // columns are homogeneous (prices etc); try last hit first
     var i = 0
     while (i < len) {
       val d = v(off + i)
       var found = false
-      var e = 0
-      while (!found && e <= 17) {
+      @inline def tryExp(e: Int): Boolean = {
         val scaled = d * Pow10(e)
         if (scaled >= Int.MinValue.toDouble && scaled <= Int.MaxValue.toDouble) {
           val r = Math.rint(scaled)
           if (r == scaled && bitsEq(r.toInt.toDouble / Pow10(e), d)) {
-            exps(i) = e; digs(i) = r.toInt; found = true
+            exps(i) = e; digs(i) = r.toInt
+            return true
           }
         }
-        e += 1
+        false
+      }
+      if (tryExp(lastExp)) found = true
+      else {
+        var e = 0
+        while (!found && e <= 17) {
+          if (e != lastExp && tryExp(e)) { found = true; lastExp = e }
+          e += 1
+        }
       }
       if (!found) { exps(i) = ExcExp; digs(i) = 0; nExc += 1 }
       i += 1

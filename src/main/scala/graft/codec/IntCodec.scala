@@ -95,21 +95,26 @@ object IntCodec {
   }
 
   private def encRle(out: BufWriter, v: Array[Int], off: Int, len: Int, depth: Int, cfg: BtrConfig): Unit = {
-    val values = new java.util.ArrayList[Integer]()
-    val runs = new java.util.ArrayList[Integer]()
+    // pass 1: count runs (no allocation); pass 2: fill primitive arrays
+    var nRuns = 0
     var i = 0
+    while (i < len) {
+      val x = v(off + i)
+      i += 1
+      while (i < len && v(off + i) == x) i += 1
+      nRuns += 1
+    }
+    val va = new Array[Int](nRuns)
+    val ra = new Array[Int](nRuns)
+    i = 0
+    var r = 0
     while (i < len) {
       val start = i
       val x = v(off + i)
       i += 1
       while (i < len && v(off + i) == x) i += 1
-      values.add(x); runs.add(i - start)
+      va(r) = x; ra(r) = i - start; r += 1
     }
-    val nRuns = values.size()
-    val va = new Array[Int](nRuns)
-    val ra = new Array[Int](nRuns)
-    var j = 0
-    while (j < nRuns) { va(j) = values.get(j); ra(j) = runs.get(j); j += 1 }
     encode(out, va, 0, nRuns, depth - 1, cfg)
     encode(out, ra, 0, nRuns, depth - 1, cfg)
   }

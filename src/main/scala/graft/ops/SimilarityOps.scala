@@ -86,6 +86,103 @@ object SimilarityOps {
         round(col("cosine"), 4).as("cosine"), col("rank"))
   }
 
+  /** IVF (inverted-file) ANN: k-means centroids trained on a deterministic
+    * driver-side sample partition the corpus into nCentroids buckets; each
+    * query probes its nProbe nearest centroids' buckets, then exact top-k
+    * within the candidates. Cost ≈ nProbe/nCentroids of the corpus per
+    * query; centroids broadcast, corpus bucketing is one map pass.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 3,
+      kmeansIters: Int = 4,
+      sampleSize: Int = 2048): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+    // deterministic training sample: lowest ids
+    val train: Array[Array[Float]] =
+      vecs.orderBy(col(idCol).cast("long")).limit(sampleSize).collect().map(_._2)
+    require(train.nonEmpty, "empty corpus")
+    val dim = train(0).length
+    // deterministic init: evenly spaced sample vectors
+    var centroids = Array.tabulate(math.min(nCentroids, train.length)) { c =>
+      train((c.toLong * train.length / math.min(nCentroids, train.length)).toInt)
+        .map(_.toDouble)
+    }
+    for (_ <- 0 until kmeansIters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Int](centroids.length)
+      train.foreach { v =>
+        val c = nearest(centroids, v)
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+        counts(c) += 1
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+    }
+    val centB = spark.sparkContext.broadcast(centroids)
+
+    val bucketed = vecs
+      .map { case (id, v) => (id, v, nearest(centB.value, v)) }
+      .toDF("corpus_id", "cvec", "bucket")
+
+    val qProbes = queries.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .flatMap { case (qid, qv) =>
+        val cents = centB.value
+        val byDist = cents.indices.sortBy(c => -cosineD(cents(c), qv))
+        byDist.take(nProbe).map(b => (qid, qv, b))
+      }
+      .toDF("query_id", "qvec", "bucket")
+
+    val cand = qProbes.join(bucketed, "bucket")
+      .select(col("query_id"), col("qvec"), col("corpus_id"), col("cvec"))
+      .as[(Long, Array[Float], Long, Array[Float])]
+      .map { case (qid, qv, cid, cv) => (qid, cid, cosine(qv, cv)) }
+      .toDF("query_id", "corpus_id", "cosine")
+
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"),
+        round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
+
+  private def nearest(centroids: Array[Array[Double]], v: Array[Float]): Int = {
+    var best = 0
+    var bestSim = Double.NegativeInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val s = cosineD(centroids(c), v)
+      if (s > bestSim) { bestSim = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private def cosineD(a: Array[Double], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i).toDouble * b(i)
+      i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
   /** LSH-bucketed ANN: random-hyperplane signatures bucket the corpus; each
     * query probes its own bucket and all hamming-1 neighbor buckets
     * (multiprobe), then exact top-k within candidates. Recall < 1, cost ≈

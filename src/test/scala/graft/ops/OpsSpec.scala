@@ -108,6 +108,25 @@ class OpsSpec extends AnyFunSuite {
     assert(got(1L) == 1L && got(2L) == 2L, s"self must be rank1: $got")
   }
 
+  test("ivfTopK: self-match is rank 1, recall overlaps brute force") {
+    val rnd = new scala.util.Random(17)
+    val corpus = (1L to 400L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val corpusDf = corpus.toDF("vec_id", "embedding").repartition(4)
+    val queryDf = corpus.take(3).toDF("vec_id", "embedding")
+    val ivf = SimilarityOps.ivfTopK(corpusDf, queryDf, "vec_id", "embedding", k = 5,
+      nCentroids = 8, nProbe = 4)
+      .select("query_id", "corpus_id", "rank").as[(Long, Long, Int)].collect()
+    val self = ivf.filter(_._3 == 1).map(r => r._1 -> r._2).toMap
+    assert(self == Map(1L -> 1L, 2L -> 2L, 3L -> 3L), s"self must be rank1: $self")
+    // with half the buckets probed, expect reasonable overlap with exact
+    val brute = SimilarityOps.bruteForceTopK(corpusDf, queryDf, "vec_id", "embedding", 5)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().groupBy(_._1)
+    val overlap = ivf.groupBy(_._1).map { case (q, rows) =>
+      rows.map(_._2).toSet.intersect(brute(q).map(_._2).toSet).size
+    }
+    assert(overlap.forall(_ >= 2), s"ivf should recall >=2/5 exact neighbors: $overlap")
+  }
+
   test("text ops: tokens, quality, langid, fingerprint") {
     val df = Seq(
       (1L, "The cat and the dog are in the house."),
