@@ -87,6 +87,128 @@ object StringCodec {
 
   def decode(arr: Array[Byte]): Array[Array[Byte]] = decode(new BufReader(arr))
 
+  /** Arena (StrSlices) encode — identical block format to encode(), but the
+    * chunk's strings live in one contiguous buffer: bulk copies for the
+    * Uncompressed payload, slice-based FSST compression, and an index-level
+    * TreeMap for Dict (copies only unique entries). The hot path for the
+    * engine's string columns.
+    */
+  def encodeSlices(out: BufWriter, s: StrSlices, depth: Int, cfg: BtrConfig): Int = {
+    val len = s.count
+    if (len == 0 || depth <= 0) { encUncompressedSlices(out, s, depth, cfg); return TagUncompressed }
+    var const = true
+    var i = 1
+    while (const && i < len) { if (!s.sliceEquals(0, i)) const = false; i += 1 }
+    if (const) {
+      out.u8(TagOneValue); out.i32(len)
+      out.i32(s.len(0)); out.bytes(s.data, s.start(0), s.len(0))
+      return TagOneValue
+    }
+    // selection runs on a small copied sample (cheap; full chunk stays zero-copy)
+    val target = cfg.sampleRuns * cfg.sampleRunLen
+    val sample: Array[Array[Byte]] =
+      if (len <= target) Array.tabulate(len)(s.copy)
+      else {
+        val out = new Array[Array[Byte]](target)
+        var o = 0
+        var r = 0
+        while (r < cfg.sampleRuns) {
+          val startIdx = (((len - cfg.sampleRunLen).toLong * r) / math.max(1, cfg.sampleRuns - 1)).toInt
+          var k = 0
+          while (k < cfg.sampleRunLen) { out(o) = s.copy(startIdx + k); o += 1; k += 1 }
+          r += 1
+        }
+        out
+      }
+    val slen = sample.length
+    val uniq = {
+      val set = new java.util.TreeSet[Array[Byte]](byteArrayCmp)
+      sample.foreach(set.add)
+      set.size()
+    }
+    var bestTag = TagUncompressed
+    var bestSize = {
+      val w = new BufWriter(1024)
+      encodeWith(TagUncompressed, w, sample, 0, slen, depth, cfg)
+      w.size
+    }
+    if (uniq * 2 <= slen) {
+      val w = new BufWriter(1024)
+      encodeWith(TagDict, w, sample, 0, slen, depth, cfg)
+      if (w.size < bestSize) { bestSize = w.size; bestTag = TagDict }
+    }
+    val sampleBuf = new BufWriter(Fsst.MaxSampleBytes)
+    i = 0
+    while (i < slen && sampleBuf.size < Fsst.MaxSampleBytes) {
+      sampleBuf.bytes(sample(i), 0, math.min(sample(i).length, Fsst.MaxSampleBytes - sampleBuf.size))
+      i += 1
+    }
+    val table = Fsst.train(sampleBuf.result())
+    locally {
+      val w = new BufWriter(1024)
+      encFsstWith(table, w, sample, 0, slen, depth, cfg)
+      if (w.size < bestSize) { bestSize = w.size; bestTag = TagFsst }
+    }
+    bestTag match {
+      case TagUncompressed => encUncompressedSlices(out, s, depth, cfg)
+      case TagDict         => encDictSlices(out, s, depth, cfg)
+      case TagFsst =>
+        out.u8(TagFsst); out.i32(len)
+        table.serialize(out)
+        val blob = new BufWriter(math.max(64, (s.totalBytes / 3).toInt))
+        val clens = new Array[Int](len)
+        i = 0
+        while (i < len) {
+          clens(i) = table.compress(s.data, s.start(i), s.len(i), blob)
+          i += 1
+        }
+        IntCodec.encode(out, clens, 0, len, depth - 1, cfg)
+        val b = blob.result()
+        out.i32(b.length)
+        out.bytes(b)
+    }
+    bestTag
+  }
+
+  private def encUncompressedSlices(out: BufWriter, s: StrSlices, depth: Int, cfg: BtrConfig): Unit = {
+    val len = s.count
+    out.u8(TagUncompressed)
+    out.i32(len)
+    val lengths = new Array[Int](len)
+    var i = 0
+    while (i < len) { lengths(i) = s.len(i); i += 1 }
+    IntCodec.encode(out, lengths, 0, len, depth - 1, cfg)
+    if (len > 0) out.bytes(s.data, s.start(0), s.offsets(len) - s.start(0))
+  }
+
+  private def encDictSlices(out: BufWriter, s: StrSlices, depth: Int, cfg: BtrConfig): Unit = {
+    val len = s.count
+    out.u8(TagDict)
+    out.i32(len)
+    // index-level TreeMap: comparator reads slice content, so only unique
+    // entries are ever materialized as arrays
+    val cmp = new java.util.Comparator[Integer] {
+      def compare(a: Integer, b: Integer): Int = s.sliceCompare(a, b)
+    }
+    val map = new java.util.TreeMap[Integer, Integer](cmp)
+    var i = 0
+    while (i < len) { map.putIfAbsent(i, -1); i += 1 }
+    val dict = new Array[Array[Byte]](map.size())
+    val it = map.entrySet().iterator()
+    i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      dict(i) = s.copy(e.getKey)
+      e.setValue(i)
+      i += 1
+    }
+    val codes = new Array[Int](len)
+    i = 0
+    while (i < len) { codes(i) = map.get(i); i += 1 }
+    encode(out, dict, 0, dict.length, depth - 1, cfg)
+    IntCodec.encode(out, codes, 0, len, depth - 1, cfg)
+  }
+
   // ---------------------------------------------------------------- select
 
   def select(v: Array[Array[Byte]], off: Int, len: Int, depth: Int, cfg: BtrConfig): Int = {

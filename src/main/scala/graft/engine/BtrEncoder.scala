@@ -56,17 +56,19 @@ object BtrEncoder {
     private var firstRow = 0L
     private var pending: Iterator[CompressedPart] = Iterator.empty
 
-    // reusable typed buffers, one per column
+    // reusable typed buffers, one per column; strings go into a contiguous
+    // arena (StrSlicesBuilder) instead of one Array[Byte] per value
     private val intBuf = new Array[Array[Int]](nCols)
     private val dblBuf = new Array[Array[Double]](nCols)
-    private val strBuf = new Array[Array[Array[Byte]]](nCols)
+    private val strBuf = new Array[graft.codec.StrSlicesBuilder](nCols)
     locally {
       var c = 0
       while (c < nCols) {
         colTypes(c) match {
           case ColType.Integer => intBuf(c) = new Array[Int](cfg.blockSize)
           case ColType.Double  => dblBuf(c) = new Array[Double](cfg.blockSize)
-          case ColType.String  => strBuf(c) = new Array[Array[Byte]](cfg.blockSize)
+          case ColType.String =>
+            strBuf(c) = new graft.codec.StrSlicesBuilder(1 << 16, cfg.blockSize)
         }
         c += 1
       }
@@ -92,7 +94,14 @@ object BtrEncoder {
           colTypes(c) match {
             case ColType.Integer => intBuf(c)(n) = row.getInt(c)
             case ColType.Double  => dblBuf(c)(n) = row.getDouble(c)
-            case ColType.String  => strBuf(c)(n) = row.getUTF8String(c).getBytes
+            case ColType.String =>
+              // zero-copy: UTF8String bytes written straight into the arena
+              val u = row.getUTF8String(c)
+              val nb = u.numBytes()
+              val b = strBuf(c)
+              val at = b.reserve(nb)
+              u.writeToMemory(b.buffer, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + at)
+              b.commit(nb)
           }
           c += 1
         }
@@ -112,18 +121,15 @@ object BtrEncoder {
           case ColType.Double =>
             ChunkEncoder.encodeDouble(partitionId, ci, fr, c, schema(c).name, dblBuf(c), len, cfg)
           case ColType.String =>
-            ChunkEncoder.encodeString(partitionId, ci, fr, c, schema(c).name, strBuf(c), len, cfg)
+            ChunkEncoder.encodeStringSlices(partitionId, ci, fr, c, schema(c).name, strBuf(c).result(), cfg)
         }
         c += 1
       }
-      // release string refs so the next chunk doesn't pin two generations
-      if (strBuf != null) {
-        var k = 0
-        while (k < nCols) {
-          if (strBuf(k) != null) java.util.Arrays.fill(
-            strBuf(k).asInstanceOf[Array[AnyRef]], 0, len, null)
-          k += 1
-        }
+      // reset arenas for the next chunk (buffers reused, no reallocation)
+      var k = 0
+      while (k < nCols) {
+        if (strBuf(k) != null) strBuf(k).clear()
+        k += 1
       }
       pending = parts.iterator
     }

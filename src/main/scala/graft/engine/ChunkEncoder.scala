@@ -59,6 +59,34 @@ object ChunkEncoder {
       None, None)
   }
 
+  /** Arena-based string chunk encode (the engine's hot path). */
+  def encodeStringSlices(
+      partitionId: Int, chunkIdx: Int, firstRow: Long,
+      colIdx: Int, colName: String,
+      s: StrSlices, cfg: BtrConfig): CompressedPart = {
+    val len = s.count
+    val raw = s.totalBytes
+    val out = new BufWriter(math.min(raw, Int.MaxValue / 2).toInt / 2 + 256)
+    StringCodec.encodeSlices(out, s, cfg.maxCascadeDepth, cfg)
+    val bytes = out.result()
+    var mn = -1
+    var mx = -1
+    var i = 0
+    while (i < len) {
+      if (mn < 0 || s.sliceCompare(i, mn) < 0) mn = i
+      if (mx < 0 || s.sliceCompare(i, mx) > 0) mx = i
+      i += 1
+    }
+    val (minS, maxS) =
+      if (len > 0 && s.len(mn) <= 64 && s.len(mx) <= 64)
+        (Some(new String(s.copy(mn), UTF_8)), Some(new String(s.copy(mx), UTF_8)))
+      else (None, None)
+    CompressedPart(
+      partitionId, chunkIdx, firstRow, len, colIdx, colName, ColType.String,
+      StringCodec.describeBlock(bytes), raw, bytes.length, bytes,
+      None, None, None, None, minS, maxS)
+  }
+
   def encodeString(
       partitionId: Int, chunkIdx: Int, firstRow: Long,
       colIdx: Int, colName: String,

@@ -255,6 +255,50 @@ class CodecSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(table.decompress(new BufReader(out.result()), clen), data))
   }
 
+  // ----------------------------------------------------------- arena slices
+
+  def rtSlices(v: Array[String]): Unit = {
+    val b = new StrSlicesBuilder()
+    v.foreach(s => b.add(s.getBytes(UTF_8)))
+    val out = new BufWriter()
+    StringCodec.encodeSlices(out, b.result(), cfg.maxCascadeDepth, cfg)
+    val dec = StringCodec.decode(out.result())
+    assert(dec.length == v.length)
+    var i = 0
+    while (i < v.length) {
+      assert(java.util.Arrays.equals(dec(i), v(i).getBytes(UTF_8)), s"slices mismatch at $i")
+      i += 1
+    }
+  }
+
+  test("slices encode: all string shapes round-trip via the arena path") {
+    rtSlices(Array.empty)
+    rtSlices(Array(""))
+    rtSlices(Array.fill(70000)("const"))
+    val langs = Array("scala", "rust", "python", "go")
+    val rnd = new scala.util.Random(41)
+    rtSlices(Array.fill(5000)(langs(rnd.nextInt(langs.length)))) // dict
+    rtSlices(Array.fill(3000) { // fsst
+      s"def f_${rnd.nextInt(50)}(x) = buffer.stream(${rnd.nextInt(100)})\n" * 5
+    })
+    rtSlices(Array.fill(2000)(Seq.fill(40)("0123456789abcdef" (rnd.nextInt(16))).mkString)) // high entropy
+    rtSlices(Array.tabulate(1000)(i => if (i % 3 == 0) "" else s"v$i")) // empties mixed
+  }
+
+  test("slices and array paths choose the same scheme") {
+    val rnd = new scala.util.Random(43)
+    val langs = Array("en", "de", "fr")
+    val dictData = Array.fill(4000)(langs(rnd.nextInt(3)))
+    val b = new StrSlicesBuilder()
+    dictData.foreach(s => b.add(s.getBytes(UTF_8)))
+    val w = new BufWriter()
+    StringCodec.encodeSlices(w, b.result(), cfg.maxCascadeDepth, cfg)
+    val viaSlices = StringCodec.describeBlock(w.result())
+    val viaArrays = StringCodec.describeBlock(StringCodec.encode(dictData.map(_.getBytes(UTF_8)), cfg))
+    assert(viaSlices == viaArrays, s"$viaSlices vs $viaArrays")
+    assert(viaSlices.startsWith("Dict"))
+  }
+
   // ------------------------------------------------------------- cascading
 
   test("dict->fsst cascade on low-card long strings") {
