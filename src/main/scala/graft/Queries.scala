@@ -206,6 +206,18 @@ object Queries {
       .unionAll(c.except(sup).withColumn("op", lit("except")))
   }
 
+  /** Raw block-file format + DSv2 source: encode documents into blocks,
+    * read back via spark.read.format("btr") with column pruning. Oracle =
+    * identity SELECT of the pruned columns.
+    */
+  private def rtSource(s: SparkSession, dir: String): DataFrame = {
+    val out = s"file:/root/repo/target/tmp/rt_source_${math.abs(dir.hashCode)}"
+    val docs = t(s, dir, "documents").select(
+      col("doc_id").cast("int").as("doc_id"), col("text"), col("lang"))
+    graft.engine.BlockFiles.write(docs, out, BtrConfig.default, rangeCols = Seq("doc_id"))
+    s.read.format("btr").load(out).select("doc_id", "lang")
+  }
+
   /** Zone-map pruned scan + row filter: only chunks whose doc_id min/max
     * intersects [100, 199] are decoded (the data-skipping extension; the
     * reference scan decodes everything). Oracle = plain WHERE.
@@ -336,6 +348,7 @@ object Queries {
     "q_window" -> (qWindow _),
     "q_setop" -> (qSetop _),
     "q_prune" -> (qPrune _),
+    "rt_source" -> (rtSource _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
@@ -397,6 +410,8 @@ object Queries {
     "q_prune" ->
       ("SELECT CAST(doc_id AS INTEGER) AS doc_id, lang, source FROM documents " +
         "WHERE doc_id BETWEEN 100 AND 199"),
+    "rt_source" ->
+      "SELECT CAST(doc_id AS INTEGER) AS doc_id, lang FROM documents",
     "text_tokens" ->
       ("SELECT CAST(doc_id AS BIGINT) AS doc_id, " +
         "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
