@@ -34,10 +34,14 @@ object BlockFiles {
     val prepared =
       if (rangeCols.isEmpty) df
       else {
-        val salted = df.withColumn("__salt", pmod(hash(col(rangeCols.last)), lit(16)))
+        // row-varying salt (hash of ALL columns): a hot (repo, path) key's
+        // rows spread across partitions instead of serializing one task
+        val salted = df.withColumn("__salt", pmod(hash(df.columns.map(col): _*), lit(16)))
         salted.repartitionByRange(n, (rangeCols.map(col) :+ col("__salt")): _*).drop("__salt")
       }
     val schema = prepared.schema
+    require(schema.length <= 255,
+      s"btr block frame stores the column count in one byte — ${schema.length} columns > 255")
     val colTypes = BtrEncoder.validateSchema(schema)
     val confB = ConfShim.broadcast(spark.sparkContext)
     val blocksDir = s"$dir/blocks"
@@ -47,41 +51,19 @@ object BlockFiles {
     if (fs0.exists(p)) fs0.delete(p, true)
     fs0.mkdirs(p)
 
-    // per task: stream chunks through the encoder straight into one blob file
+    // Per task: stream chunks through the encoder into one blob file, with
+    // a task-commit protocol: write to an attempt-unique temp name, rename
+    // to the final path on success (Hadoop FS rename is atomic per file).
+    // A retried/speculative attempt never rewrites a committed file a
+    // reader may already hold, and a failed attempt leaves only a dot-file
+    // that readers (which list `part-*`) ignore.
     val stats = prepared.queryExecution.toRdd.mapPartitions { rows =>
       if (rows.isEmpty) Iterator.empty
       else {
-        val pid = TaskContext.getPartitionId()
-        val fs = new Path(blocksDir).getFileSystem(ConfShim.conf(confB))
-        val out = fs.create(new Path(blocksDir, f"part-$pid%05d"), true)
-        var rawBytes = 0L
-        var encBytes = 0L
-        var numRows = 0L
-        try {
-          val le = new java.io.DataOutputStream(out)
-          def i32(v: Int): Unit = {
-            le.write(v & 0xff); le.write((v >>> 8) & 0xff)
-            le.write((v >>> 16) & 0xff); le.write((v >>> 24) & 0xff)
-          }
-          i32(Magic); le.write(Version)
-          val it = new BtrEncoder.PartitionEncodeIterator(rows, schema, colTypes, cfg)
-          val grouped = it.grouped(schema.length)
-          grouped.foreach { chunkParts =>
-            i32(chunkParts.head.numRows)
-            le.write(chunkParts.length)
-            chunkParts.foreach { part =>
-              le.write(part.colType)
-              i32(part.bytes.length)
-            }
-            chunkParts.foreach { part =>
-              le.write(part.bytes)
-              rawBytes += part.rawBytes
-              encBytes += part.bytes.length
-            }
-            numRows += chunkParts.head.numRows
-          }
-        } finally out.close()
-        Iterator.single((rawBytes, encBytes, numRows))
+        val tc = TaskContext.get()
+        Iterator.single(writeOneBlockFile(
+          ConfShim.conf(confB), blocksDir, tc.partitionId(), tc.taskAttemptId(),
+          rows, schema, colTypes, cfg))
       }
     }.collect()
 
@@ -96,5 +78,63 @@ object BlockFiles {
       completedPartitions = Seq(0))
     BtrTable.writeManifest(spark, dir, m)
     m
+  }
+
+  /** One task attempt's block-file write (factored out so the retry
+    * semantics are unit-testable without Spark's retry machinery).
+    * Returns (rawBytes, encBytes, numRows) of the bytes THIS attempt
+    * encoded; the committed file is whichever attempt renamed first.
+    */
+  def writeOneBlockFile(
+      conf: org.apache.hadoop.conf.Configuration,
+      blocksDir: String,
+      pid: Int,
+      attemptId: Long,
+      rows: Iterator[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType,
+      colTypes: Array[Int],
+      cfg: BtrConfig): (Long, Long, Long) = {
+    val fs = new Path(blocksDir).getFileSystem(conf)
+    val finalPath = new Path(blocksDir, f"part-$pid%05d")
+    val tmpPath = new Path(blocksDir, f".tmp-part-$pid%05d-attempt-$attemptId")
+    val out = fs.create(tmpPath, true)
+    var rawBytes = 0L
+    var encBytes = 0L
+    var numRows = 0L
+    var committed = false
+    try {
+      val le = new java.io.DataOutputStream(out)
+      def i32(v: Int): Unit = {
+        le.write(v & 0xff); le.write((v >>> 8) & 0xff)
+        le.write((v >>> 16) & 0xff); le.write((v >>> 24) & 0xff)
+      }
+      i32(Magic); le.write(Version)
+      val it = new BtrEncoder.PartitionEncodeIterator(rows, schema, colTypes, cfg)
+      val grouped = it.grouped(schema.length)
+      grouped.foreach { chunkParts =>
+        i32(chunkParts.head.numRows)
+        le.write(chunkParts.length)
+        chunkParts.foreach { part =>
+          le.write(part.colType)
+          i32(part.bytes.length)
+        }
+        chunkParts.foreach { part =>
+          le.write(part.bytes)
+          rawBytes += part.rawBytes
+          encBytes += part.bytes.length
+        }
+        numRows += chunkParts.head.numRows
+      }
+      out.close()
+      // commit: first attempt to rename wins; a loser (a concurrent
+      // speculative attempt already committed) just discards its temp
+      committed = fs.rename(tmpPath, finalPath) || fs.exists(finalPath)
+      if (!committed)
+        sys.error(s"could not commit $tmpPath -> $finalPath")
+    } finally {
+      try out.close() catch { case _: java.io.IOException => () }
+      if (fs.exists(tmpPath)) fs.delete(tmpPath, false)
+    }
+    (rawBytes, encBytes, numRows)
   }
 }

@@ -64,7 +64,10 @@ object BtrTable {
     val prepared =
       if (rangeCols.isEmpty) df
       else {
-        val salted = df.withColumn("__salt", pmod(hash(col(rangeCols.last)), lit(16)))
+        // salt must vary per ROW of a hot key (not per key) so a single hot
+        // (repo, path) cannot serialize one task; hash over all columns is
+        // deterministic (resume/retry-safe) yet row-varying
+        val salted = df.withColumn("__salt", pmod(hash(df.columns.map(col): _*), lit(16)))
         val keys = rangeCols.map(col) :+ col("__salt")
         salted.repartitionByRange(n, keys: _*).drop("__salt")
       }

@@ -73,7 +73,7 @@ object EncodeProfile {
         BtrConfig.default, rangeCols = Seq("repo", "path"))
     }
     t("write parts, range+salt (no manifest)") {
-      val salted = df.withColumn("__salt", pmod(hash(col("path")), lit(16)))
+      val salted = df.withColumn("__salt", pmod(hash(df.columns.map(col): _*), lit(16)))
       BtrEncoder.encodeToParts(
         salted.repartitionByRange(cores, col("repo"), col("path"), col("__salt"))
           .drop("__salt"),

@@ -71,6 +71,48 @@ class BtrSourceSpec extends AnyFunSuite {
     assert(r.length == 1 && r(0).getString(1) == "Jack" && r(0).getDouble(2) == 4.20)
   }
 
+  test("task-commit protocol: retried/speculative attempts leave one readable copy") {
+    import graft.engine.BtrEncoder
+    import org.apache.hadoop.fs.Path
+    val dir = tmp("commit")
+    val blocksDir = s"$dir/blocks"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(blocksDir).getFileSystem(conf)
+    fs.mkdirs(new Path(blocksDir))
+    // a crashed first attempt leaves a partial temp file behind
+    val stale = new Path(blocksDir, ".tmp-part-00000-attempt-1")
+    val os = fs.create(stale, true); os.write(Array[Byte](1, 2, 3)); os.close()
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.IntegerType, false),
+      org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType, false)))
+    val colTypes = BtrEncoder.validateSchema(schema)
+    def rows = (0 until 1000).iterator.map { i =>
+      org.apache.spark.sql.catalyst.InternalRow(
+        i, org.apache.spark.unsafe.types.UTF8String.fromString(s"val_$i"))
+    }
+    // retried attempt commits; a later speculative duplicate re-runs the
+    // same partition and must not corrupt the committed file
+    BlockFiles.writeOneBlockFile(conf, blocksDir, 0, 2L, rows, schema, colTypes, BtrConfig(blockSize = 128))
+    BlockFiles.writeOneBlockFile(conf, blocksDir, 0, 3L, rows, schema, colTypes, BtrConfig(blockSize = 128))
+
+    val listed = fs.listStatus(new Path(blocksDir)).map(_.getPath.getName).sorted
+    assert(listed.count(_.startsWith("part-")) == 1, s"exactly one committed file: ${listed.mkString(",")}")
+    assert(!listed.exists(_.contains("attempt-2")) && !listed.exists(_.contains("attempt-3")),
+      s"no attempt temp files left: ${listed.mkString(",")}")
+    // the stale crashed-attempt file is invisible to the reader (part-* filter)
+    // and the committed file reads back fully
+    val m = graft.format.BtrManifest(
+      columns = Seq(graft.format.ColumnMeta("id", graft.codec.ColType.Integer),
+        graft.format.ColumnMeta("s", graft.codec.ColType.String)),
+      numPartitions = 1, blockSize = 128, maxCascadeDepth = 3,
+      numRows = 1000, rawBytes = 1, encBytes = 1, completedPartitions = Seq(0))
+    graft.engine.BtrTable.writeManifest(spark, dir, m)
+    val back = spark.read.format("btr").load(dir)
+    assert(back.count() == 1000)
+    assert(back.where("id = 999").head().getString(1) == "val_999")
+  }
+
   test("range-partitioned blocks write") {
     import spark.implicits._
     val dir = tmp("range")
