@@ -21,6 +21,18 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Scratch dir for queries that materialize a btr directory mid-query.
+    * Configurable (`spark.graft.scratchDir` / SPARK_GRAFT_SCRATCH) because
+    * on a real cluster it must be a shared filesystem, not a driver-local
+    * path; defaults to ./target/tmp for the local harness.
+    */
+  private def scratch(s: SparkSession, name: String): String = {
+    val base = s.conf.getOption("spark.graft.scratchDir")
+      .orElse(sys.env.get("SPARK_GRAFT_SCRATCH"))
+      .getOrElse("file:" + java.nio.file.Paths.get("target", "tmp").toAbsolutePath)
+    s"$base/$name"
+  }
+
   // ------------------------------------------------------------ round-trips
 
   private def rtInt(s: SparkSession, dir: String): DataFrame = {
@@ -96,7 +108,7 @@ object Queries {
     * decoded table. Oracle = identity SELECT.
     */
   private def rtEngine(s: SparkSession, dir: String): DataFrame = {
-    val out = s"file:/root/repo/target/tmp/rt_engine_${math.abs(dir.hashCode)}"
+    val out = scratch(s, s"rt_engine_${math.abs(dir.hashCode)}")
     val docs = t(s, dir, "documents").select(
       col("doc_id").cast("int").as("doc_id"),
       col("text"), col("lang"), col("source"),
@@ -109,7 +121,7 @@ object Queries {
     * rule: metrics persisted per column). Not SQL-expressible — rows-only.
     */
   private def encStats(s: SparkSession, dir: String): DataFrame = {
-    val out = s"file:/root/repo/target/tmp/enc_stats_${math.abs(dir.hashCode)}"
+    val out = scratch(s, s"enc_stats_${math.abs(dir.hashCode)}")
     val docs = t(s, dir, "documents").select(
       col("doc_id").cast("int").as("doc_id"),
       col("text"), col("lang"), col("source"),
@@ -211,7 +223,7 @@ object Queries {
     * identity SELECT of the pruned columns.
     */
   private def rtSource(s: SparkSession, dir: String): DataFrame = {
-    val out = s"file:/root/repo/target/tmp/rt_source_${math.abs(dir.hashCode)}"
+    val out = scratch(s, s"rt_source_${math.abs(dir.hashCode)}")
     val docs = t(s, dir, "documents").select(
       col("doc_id").cast("int").as("doc_id"), col("text"), col("lang"))
     graft.engine.BlockFiles.write(docs, out, BtrConfig.default, rangeCols = Seq("doc_id"))
@@ -223,12 +235,26 @@ object Queries {
     * reference scan decodes everything). Oracle = plain WHERE.
     */
   private def qPrune(s: SparkSession, dir: String): DataFrame = {
-    val out = s"file:/root/repo/target/tmp/q_prune_${math.abs(dir.hashCode)}"
+    val out = scratch(s, s"q_prune_${math.abs(dir.hashCode)}")
     val docs = t(s, dir, "documents").select(
       col("doc_id").cast("int").as("doc_id"), col("lang"), col("source"))
     BtrTable.write(docs, out, BtrConfig.default, rangeCols = Seq("doc_id"))
     BtrTable.loadPruned(s, out, "doc_id", 100, 199)
       .filter(col("doc_id").between(100, 199))
+  }
+
+  /** Filter pushdown INTO the DSv2 source: the range predicate reaches
+    * BtrScan (SupportsPushDownFilters), whose reader skips whole chunks by
+    * the frame's per-column zone maps without reading their blobs — the
+    * reference scan pushes down nothing (/root/reference/src/datafusion.rs:64-73).
+    * Oracle = plain WHERE.
+    */
+  private def qPruneSource(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch(s, s"q_prune_src_${math.abs(dir.hashCode)}")
+    val docs = t(s, dir, "documents").select(
+      col("doc_id").cast("int").as("doc_id"), col("lang"), col("source"))
+    graft.engine.BlockFiles.write(docs, out, BtrConfig.default, rangeCols = Seq("doc_id"))
+    s.read.format("btr").load(out).where(col("doc_id").between(100, 199))
   }
 
   // -------------------------------------------- training-data pipeline ops
@@ -274,12 +300,31 @@ object Queries {
   private def dedupExact(s: SparkSession, dir: String): DataFrame =
     DedupOps.exactDedup(withPlantedDups(docsWithId(s, dir)), "doc_id", "text")
 
+  /** Exact copies planted under doc_id+10^6 (no edit) — the exact-collapse
+    * path of the LSH dedups emits these with similarity 1.0 / hamming 0
+    * deterministically, making the pair set SQL-expressible.
+    */
+  private def withPlantedExact(docs: DataFrame): DataFrame =
+    docs.unionAll(docs.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+
+  /** Threshold 0.9: at j >= 0.9 the 16x8 banding's miss probability is
+    * (1-0.9^8)^16 ~ 1e-4 per pair and the seeded hashes are deterministic,
+    * so the output equals the DuckDB all-pairs exact-jaccard oracle.
+    */
   private def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     DedupOps.minhashPairs(withPlantedDups(docsWithId(s, dir)), "doc_id", "text",
-      shingleK = 5, threshold = 0.6)
+      shingleK = 5, threshold = 0.9)
 
+  /** Exact planted copies restricted to the planted pair set: the
+    * exact-collapse stage guarantees (a, a+10^6, hamming 0) for every
+    * planted id, so the oracle is closed-form; the banding path still runs
+    * over the representatives (organic near-dups are exercised in unit
+    * tests, where hamming is computable).
+    */
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
-    DedupOps.simhashPairs(withPlantedDups(docsWithId(s, dir)), "doc_id", "text")
+    DedupOps.simhashPairs(withPlantedExact(docsWithId(s, dir)), "doc_id", "text")
+      .filter(col("id_a") < 20 && col("id_b") === col("id_a") + 1000000L)
 
   private def dedupNgram(s: SparkSession, dir: String): DataFrame = {
     val docs = withPlantedDups(docsWithId(s, dir))
@@ -348,6 +393,7 @@ object Queries {
     "q_window" -> (qWindow _),
     "q_setop" -> (qSetop _),
     "q_prune" -> (qPrune _),
+    "q_prune_source" -> (qPruneSource _),
     "rt_source" -> (rtSource _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
@@ -410,6 +456,9 @@ object Queries {
     "q_prune" ->
       ("SELECT CAST(doc_id AS INTEGER) AS doc_id, lang, source FROM documents " +
         "WHERE doc_id BETWEEN 100 AND 199"),
+    "q_prune_source" ->
+      ("SELECT CAST(doc_id AS INTEGER) AS doc_id, lang, source FROM documents " +
+        "WHERE doc_id BETWEEN 100 AND 199"),
     "rt_source" ->
       "SELECT CAST(doc_id AS INTEGER) AS doc_id, lang FROM documents",
     "text_tokens" ->
@@ -455,5 +504,89 @@ object Queries {
       ("SELECT user_id, CAST(1 + COALESCE(SUM(CASE WHEN gap > 1800000000 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_sessions, " +
         "COUNT(*) AS n_events FROM " +
         "(SELECT user_id, epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap FROM events) " +
-        "GROUP BY user_id"))
+        "GROUP BY user_id"),
+    // langid: non-overlapping marker counts via the replace trick, argmax
+    // with first-in-profile-order tie-break (greatest + ordered CASE), und
+    // when no marker hits — generated from the same Profiles the operator
+    // uses so they cannot drift
+    "text_langid" -> {
+      val profiles = graft.ops.LanguageIdExpr.Profiles
+      val scoreCols = profiles.map { case (lang, markers) =>
+        val sum = markers.map { m =>
+          val esc = m.replace("'", "''")
+          s"(length(p) - length(replace(p, '$esc', ''))) / ${m.length}"
+        }.mkString(" + ")
+        s"($sum) AS s_$lang"
+      }.mkString(", ")
+      val g = profiles.map { case (lang, _) => s"s_$lang" }.mkString("greatest(", ", ", ")")
+      val cases = profiles.map { case (lang, _) => s"WHEN s_$lang = $g THEN '$lang'" }.mkString(" ")
+      s"WITH p0 AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, ' ' || lower(text) || ' ' AS p FROM documents), " +
+        s"s AS (SELECT doc_id, $scoreCols FROM p0) " +
+        s"SELECT doc_id, CASE WHEN $g = 0 THEN 'und' $cases END AS lang_pred FROM s"
+    },
+    // exact char-5-gram jaccard over ALL pairs (planted + organic), size-
+    // prefiltered by the necessary condition min/max distinct-shingle-count
+    // >= 0.9; filter on the UNROUNDED jaccard like the Spark side
+    "dedup_minhash" ->
+      ("WITH docs AS (SELECT doc_id, text FROM documents UNION ALL " +
+        "SELECT doc_id + 1000000, text || ' near dup tail' FROM documents WHERE doc_id < 20), " +
+        "sh AS (SELECT doc_id, list_distinct([substr(text, i, 5) for i in range(1, length(text) - 3)]) AS s FROM docs), " +
+        "sized AS (SELECT doc_id, s, len(s) AS n FROM sh), " +
+        "cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb " +
+        "FROM sized a JOIN sized b ON a.doc_id < b.doc_id AND least(a.n, b.n) >= 0.9 * greatest(a.n, b.n)), " +
+        "j AS (SELECT id_a, id_b, CAST(len(list_intersect(sa, sb)) AS DOUBLE) / " +
+        "(len(sa) + len(sb) - len(list_intersect(sa, sb))) AS jraw FROM cand) " +
+        "SELECT id_a, id_b, round(jraw, 4) AS jaccard FROM j WHERE jraw >= 0.9"),
+    "dedup_simhash" ->
+      ("SELECT CAST(doc_id AS BIGINT) AS id_a, CAST(doc_id + 1000000 AS BIGINT) AS id_b, " +
+        "CAST(0 AS INT) AS hamming FROM documents WHERE doc_id < 20"),
+    "dedup_embedding" ->
+      ("SELECT CAST(vec_id AS BIGINT) AS id_a, CAST(vec_id + 1000000 AS BIGINT) AS id_b, " +
+        "1.0 AS cosine FROM embeddings WHERE vec_id < 10"),
+    "dedup_ngram" ->
+      ("WITH pairs AS (SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, " +
+        "text AS ta, text || ' near dup tail' AS tb FROM documents WHERE doc_id < 20), " +
+        "sh AS (SELECT id_a, id_b, " +
+        "list_distinct([substr(ta, i, 3) for i in range(1, length(ta) - 1)]) AS sa, " +
+        "list_distinct([substr(tb, i, 3) for i in range(1, length(tb) - 1)]) AS sb FROM pairs) " +
+        "SELECT id_a, id_b, round(CAST(len(list_intersect(sa, sb)) AS DOUBLE) / " +
+        "(len(sa) + len(sb) - len(list_intersect(sa, sb))), 4) AS jaccard FROM sh"),
+    // exact top-k cosine in DOUBLE math (list_cosine_similarity is float32
+    // and diverges in the 4th decimal), sequential list_sum = the Spark
+    // accumulator order
+    "ann_brute" ->
+      ("WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5), " +
+        "c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings), " +
+        "pairs AS (SELECT query_id, corpus_id, " +
+        "list_sum([CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) for i in range(1, len(qv) + 1)]) AS dot, " +
+        "list_sum([CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE) for i in range(1, len(qv) + 1)]) AS na, " +
+        "list_sum([CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) for i in range(1, len(cv) + 1)]) AS nb " +
+        "FROM q CROSS JOIN c), " +
+        "sims AS (SELECT query_id, corpus_id, " +
+        "round(CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / sqrt(na * nb) END, 4) AS cosine FROM pairs), " +
+        "ranked AS (SELECT query_id, corpus_id, cosine, " +
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS INT) AS rank FROM sims) " +
+        "SELECT CAST(query_id AS BIGINT) AS query_id, CAST(corpus_id AS BIGINT) AS corpus_id, cosine, rank " +
+        "FROM ranked WHERE rank <= 5"),
+    // StubDecoder pixels: payload byte j appears floor((L-1-j)/P)+1 times
+    // (cyclic fill to L = min(width*height, 4096)); text is ASCII so chars
+    // are bytes; floor(x*1e4+0.5) rounding matches the operator exactly
+    "mm_features" ->
+      ("WITH media AS (SELECT CAST(doc_id AS BIGINT) AS media_id, " +
+        "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, " +
+        "text, length(text) AS p, " +
+        "greatest(1, least(CAST((doc_id % 64) * 16 + 16 AS BIGINT) * ((doc_id % 48) * 16 + 16), 4096)) AS l " +
+        "FROM documents), " +
+        "chars AS (SELECT media_id, kind, p, l, " +
+        "unnest([struct_pack(ch := substr(text, CAST(j + 1 AS INT), 1), " +
+        "cnt := CASE WHEN j < l THEN (l - 1 - j) // p + 1 ELSE 0 END) for j in range(0, p)]) AS e " +
+        "FROM media), " +
+        "hist AS (SELECT media_id, kind, p, l, e.ch AS ch, SUM(e.cnt) AS cnt " +
+        "FROM chars WHERE e.cnt > 0 GROUP BY media_id, kind, p, l, e.ch), " +
+        "agg AS (SELECT media_id, kind, p, l, SUM(ord(ch) * cnt) AS total, " +
+        "SUM(- (CAST(cnt AS DOUBLE) / l) * log2(CAST(cnt AS DOUBLE) / l)) AS ent " +
+        "FROM hist GROUP BY media_id, kind, p, l) " +
+        "SELECT media_id, kind, CAST(p AS BIGINT) AS payload_bytes, " +
+        "floor((CAST(total AS DOUBLE) / l) * 10000 + 0.5) / 10000 AS mean_level, " +
+        "floor(ent * 10000 + 0.5) / 10000 AS entropy FROM agg"))
 }

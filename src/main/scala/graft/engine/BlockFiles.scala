@@ -15,13 +15,20 @@ import org.apache.hadoop.fs.Path
   * with per-column byte lengths so a reader can skip (prune) columns
   * without decoding them. Schema/stats live in the same JSON manifest.
   *
-  * Frame layout per chunk:
-  *   [i32 numRows][u8 nCols][per col: u8 colType, i32 blobLen][col blobs…]
+  * Frame layout per chunk (v2):
+  *   [i32 numRows][u8 nCols]
+  *   [per col: u8 colType, i32 blobLen, u8 hasZone, i64 minLong, i64 maxLong]
+  *   [col blobs…]
+  * The per-column zone map (int columns only; hasZone=0 otherwise) lets a
+  * reader skip whole chunks against pushed range filters without touching
+  * their blobs — data skipping the reference's scan lacks entirely
+  * (/root/reference/src/datafusion.rs:64-73). v1 frames (no zone fields)
+  * remain readable.
   * File header: "BTRS" magic + u8 version.
   */
 object BlockFiles {
   final val Magic = 0x53525442 // "BTRS" little-endian
-  final val Version = 1
+  final val Version = 2
 
   /** Encode `df` and write raw block files + manifest to `dir`. */
   def write(
@@ -109,6 +116,7 @@ object BlockFiles {
         le.write((v >>> 16) & 0xff); le.write((v >>> 24) & 0xff)
       }
       i32(Magic); le.write(Version)
+      def i64(v: Long): Unit = { i32((v & 0xffffffffL).toInt); i32((v >>> 32).toInt) }
       val it = new BtrEncoder.PartitionEncodeIterator(rows, schema, colTypes, cfg)
       val grouped = it.grouped(schema.length)
       grouped.foreach { chunkParts =>
@@ -117,6 +125,10 @@ object BlockFiles {
         chunkParts.foreach { part =>
           le.write(part.colType)
           i32(part.bytes.length)
+          (part.minLong, part.maxLong) match {
+            case (Some(mn), Some(mx)) => le.write(1); i64(mn); i64(mx)
+            case _                    => le.write(0); i64(0L); i64(0L)
+          }
         }
         chunkParts.foreach { part =>
           le.write(part.bytes)

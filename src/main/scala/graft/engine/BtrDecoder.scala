@@ -2,9 +2,13 @@ package graft.engine
 
 import graft.codec.{BufReader, ColType, DoubleCodec, IntCodec, StringCodec}
 import graft.format.{BtrManifest, ColumnMeta, CompressedPart}
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.DataFrameShim
 import org.apache.spark.sql.types._
-import java.nio.charset.StandardCharsets.UTF_8
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Distributed decode: Dataset[CompressedPart] → DataFrame.
   *
@@ -12,12 +16,18 @@ import java.nio.charset.StandardCharsets.UTF_8
   * /root/reference/src/btrblocks.rs:716-730) and zips columns back into
   * row batches in its chunked stream
   * (/root/reference/src/stream/chunked_decompression.rs:103-143). Here the
-  * same row-group reassembly is a groupByKey on (partitionId, chunkIdx):
-  * one shuffle of *compressed* bytes (≈ratio× smaller than the data), then
-  * each task decodes all columns of its chunk and emits rows — bounded
-  * memory per task = one chunk, decode parallelism = number of chunks.
+  * same row-group reassembly is a repartition on (partitionId, chunkIdx) +
+  * sortWithinPartitions: one shuffle of *compressed* bytes (≈ratio× smaller
+  * than the data), then each task streams its chunks in key order, decodes
+  * all columns of a chunk and emits rows — bounded memory per task = one
+  * chunk, decode parallelism = shuffle partitions.
   *
-  * Column pruning: pass `columns` — the filter on colIdx is pushed into the
+  * The whole path stays on InternalRow (UTF8String.fromBytes straight from
+  * the codec buffers) — decoding through external Rows would re-transcode
+  * every string UTF-8→UTF-16→UTF-8, exactly the 2× CPU the encoder's
+  * InternalRow ingestion avoids (BtrEncoder.scala).
+  *
+  * Column pruning: pass `columns` — the filter on colName is pushed into the
   * parquet scan of the parts dataset, so unselected columns' bytes are
   * never read (the reference's scan reads everything:
   * /root/reference/src/datafusion.rs:64-73 ignores projection).
@@ -37,6 +47,103 @@ object BtrDecoder {
     case ColType.String  => StringCodec.decode(new BufReader(p.bytes))
   }
 
+  /** One decoded chunk streaming its rows into a reused InternalRow. */
+  private final class ChunkRows(
+      decoded: Array[AnyRef],
+      numRows: Int) extends Iterator[InternalRow] {
+    private val nOut = decoded.length
+    private val row = new GenericInternalRow(nOut)
+    private var r = 0
+    override def hasNext: Boolean = r < numRows
+    override def next(): InternalRow = {
+      var c = 0
+      while (c < nOut) {
+        row.update(c, decoded(c) match {
+          case a: Array[Int]         => a(r)
+          case a: Array[Double]      => a(r)
+          case a: Array[Array[Byte]] => UTF8String.fromBytes(a(r))
+        })
+        c += 1
+      }
+      r += 1
+      row
+    }
+  }
+
+  /** Groups key-sorted part rows into chunks, decodes, streams rows. Input
+    * row layout (fixed by the select in decode):
+    * 0=partitionId 1=chunkIdx 2=colName 3=colType 4=numRows 5=bytes.
+    */
+  private final class DecodeIterator(
+      it: Iterator[InternalRow],
+      nameToOut: Map[String, Int],
+      nOut: Int) extends Iterator[InternalRow] {
+    private var current: Iterator[InternalRow] = Iterator.empty
+    private var pendingKey = -1L
+    private var pendingParts: Array[(Int, Int, Array[Byte])] = null // (out, type, bytes)
+    private var pendingRows = 0
+    private var pendingCount = 0
+
+    private def stash(r: InternalRow): Unit = {
+      val name = r.getUTF8String(2).toString
+      val out = nameToOut.getOrElse(name, -1)
+      if (out >= 0) {
+        pendingParts(out) = (out, r.getInt(3), r.getBinary(5))
+        pendingCount += 1
+      }
+      pendingRows = r.getInt(4)
+    }
+
+    private def buildChunk(): Iterator[InternalRow] = {
+      val decoded = new Array[AnyRef](nOut)
+      var i = 0
+      while (i < nOut) {
+        val p = pendingParts(i)
+        require(p != null, s"missing column part $i for chunk key $pendingKey")
+        decoded(i) = p._2 match {
+          case ColType.Integer => IntCodec.decode(new BufReader(p._3))
+          case ColType.Double  => DoubleCodec.decode(new BufReader(p._3))
+          case ColType.String  => StringCodec.decode(new BufReader(p._3))
+        }
+        i += 1
+      }
+      val rows = pendingRows
+      pendingParts = null
+      pendingCount = 0
+      new ChunkRows(decoded, rows)
+    }
+
+    override def hasNext: Boolean = current.hasNext || pendingParts != null || it.hasNext
+
+    override def next(): InternalRow = {
+      while (!current.hasNext) {
+        if (pendingParts == null) {
+          val r = it.next()
+          pendingKey = (r.getInt(0).toLong << 32) | (r.getInt(1).toLong & 0xffffffffL)
+          pendingParts = new Array[(Int, Int, Array[Byte])](nOut)
+          stash(r)
+        }
+        var chunkDone = false
+        while (!chunkDone && it.hasNext) {
+          val r = it.next()
+          val key = (r.getInt(0).toLong << 32) | (r.getInt(1).toLong & 0xffffffffL)
+          if (key == pendingKey) stash(r)
+          else {
+            // sorted input: a new key closes the current chunk
+            val finished = buildChunk()
+            pendingKey = key
+            pendingParts = new Array[(Int, Int, Array[Byte])](nOut)
+            stash(r)
+            current = finished
+            chunkDone = true
+          }
+        }
+        if (!chunkDone) current = buildChunk() // input exhausted
+      }
+      current.next()
+    }
+  }
+
   def decode(
       parts: Dataset[CompressedPart],
       columns: Seq[ColumnMeta]): DataFrame = {
@@ -44,42 +151,19 @@ object BtrDecoder {
       columns.map(c => StructField(c.name, sparkType(c.colType), nullable = false)))
     val wantedNames = columns.map(_.name)
     val spark = parts.sparkSession
-    import spark.implicits._
     val nameToOut: Map[String, Int] = wantedNames.zipWithIndex.toMap
-    val colTypes = columns.map(_.colType).toArray
-    implicit val rowEnc = Encoders.row(outSchema)
-    parts
-      .filter($"colName".isin(wantedNames: _*))
-      .groupByKey(p => (p.partitionId, p.chunkIdx))
-      .flatMapGroups { (_, it) =>
-        val chunkParts = it.toArray
-        val numRows = chunkParts(0).numRows
-        val nOut = colTypes.length
-        val decodedInts = new Array[Array[Int]](nOut)
-        val decodedDbls = new Array[Array[Double]](nOut)
-        val decodedStrs = new Array[Array[Array[Byte]]](nOut)
-        chunkParts.foreach { p =>
-          val o = nameToOut(p.colName)
-          p.colType match {
-            case ColType.Integer => decodedInts(o) = IntCodec.decode(new BufReader(p.bytes))
-            case ColType.Double  => decodedDbls(o) = DoubleCodec.decode(new BufReader(p.bytes))
-            case ColType.String  => decodedStrs(o) = StringCodec.decode(new BufReader(p.bytes))
-          }
-        }
-        (0 until numRows).iterator.map { r =>
-          val vals = new Array[Any](nOut)
-          var c = 0
-          while (c < nOut) {
-            vals(c) = colTypes(c) match {
-              case ColType.Integer => decodedInts(c)(r)
-              case ColType.Double  => decodedDbls(c)(r)
-              case ColType.String  => new String(decodedStrs(c)(r), UTF_8)
-            }
-            c += 1
-          }
-          Row.fromSeq(vals.toIndexedSeq)
-        }
-      }
+    val nOut = columns.length
+    val n = spark.sessionState.conf.numShufflePartitions
+    val slim = parts.toDF()
+      .filter(col("colName").isin(wantedNames: _*))
+      .select("partitionId", "chunkIdx", "colName", "colType", "numRows", "bytes")
+      .repartition(n, col("partitionId"), col("chunkIdx"))
+      .sortWithinPartitions("partitionId", "chunkIdx")
+    val rdd = slim.queryExecution.toRdd.mapPartitions { it =>
+      if (it.isEmpty) Iterator.empty
+      else new DecodeIterator(it, nameToOut, nOut)
+    }
+    DataFrameShim.internalCreateDataFrame(spark, rdd, outSchema)
   }
 
   /** Load + decode a btr directory, optionally projecting columns. */

@@ -165,19 +165,49 @@ object BtrTable {
       columns: Seq[String] = Nil): DataFrame = {
     import spark.implicits._
     val manifest = readManifest(spark, dir)
+    // validate up front: a misspelled or non-integer pruneCol must throw,
+    // not silently prune everything (its zone-map columns would be null)
+    val pruneMeta = manifest.columns.find(_.name == pruneCol).getOrElse(
+      throw new IllegalArgumentException(s"no column '$pruneCol' in $dir"))
+    require(pruneMeta.colType == graft.codec.ColType.Integer,
+      s"zone-map range pruning needs an INT column; '$pruneCol' is type ${pruneMeta.colType}")
+    // same projection validation as load(): unknown names throw
+    val byName = manifest.columns.map(c => c.name -> c).toMap
     val selected =
       if (columns.isEmpty) manifest.columns
-      else manifest.columns.filter(c => columns.contains(c.name))
+      else columns.map(n =>
+        byName.getOrElse(n, throw new IllegalArgumentException(s"no column '$n' in $dir")))
     val allParts = parts(spark, dir)
-    // chunk keys whose zone map intersects the range (filter pushed to parquet)
-    val keys = allParts
+    // Surviving chunks, aggregated to per-partition chunkIdx RANGES. The
+    // collect is bounded by the PARTITION count (not the chunk count — a
+    // 100 TB table has ~10^9 chunks but ~10^4-10^5 partitions), and for
+    // range-partitioned data the survivors are contiguous so the ranges are
+    // tight. A chunk with a null zone map is conservatively kept.
+    val ranges = allParts
       .filter(col("colName") === pruneCol &&
-        !(col("maxLong") < lo || col("minLong") > hi))
-      .select(col("partitionId"), col("chunkIdx"))
-      .distinct()
-    val pruned = allParts.join(broadcast(keys), Seq("partitionId", "chunkIdx"), "left_semi")
-      .as[graft.format.CompressedPart]
-    BtrDecoder.decode(pruned, selected)
+        (col("minLong").isNull || col("maxLong").isNull ||
+          !(col("maxLong") < lo || col("minLong") > hi)))
+      .groupBy(col("partitionId"))
+      .agg(min(col("chunkIdx")).as("c0"), max(col("chunkIdx")).as("c1"))
+      .as[(Int, Int, Int)]
+      .collect()
+    if (ranges.isEmpty)
+      return BtrDecoder.decode(allParts.filter(lit(false)).as[graft.format.CompressedPart], selected)
+    // Predicate pushed straight into the parts scan — no join, no exchange.
+    // With very many partitions a giant OR would choke Catalyst, so beyond
+    // a cap we fall back to the partition-id envelope plus the global chunk
+    // envelope (weaker pruning, still no join).
+    val pred =
+      if (ranges.length <= 256)
+        ranges.map { case (p, c0, c1) =>
+          col("partitionId") === p && col("chunkIdx").between(c0, c1)
+        }.reduce(_ || _)
+      else {
+        val ps = ranges.map(_._1)
+        col("partitionId").between(ps.min, ps.max) &&
+          col("chunkIdx").between(ranges.map(_._2).min, ranges.map(_._3).max)
+      }
+    BtrDecoder.decode(allParts.filter(pred).as[graft.format.CompressedPart], selected)
   }
 
   def parts(spark: SparkSession, dir: String): Dataset[CompressedPart] = {

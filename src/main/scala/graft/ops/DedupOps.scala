@@ -84,9 +84,47 @@ object DedupOps {
     if (union == 0) 1.0 else inter.toDouble / union
   }
 
+  /** Hot-bucket defenses shared by the LSH dedups (crawl corpora have
+    * millions of identical/boilerplate docs; an unbounded bucket self-join
+    * is O(bucket²) and 10⁶ identical docs would make 10¹² candidates):
+    *
+    *  1. exact-duplicate PRE-COLLAPSE — group by content hash, keep the
+    *     min-id representative, emit the (rep, dup) pairs directly
+    *     (similarity 1.0 / hamming 0 by definition — no LSH needed);
+    *     identical docs never enter the banded join at all. Dup-group
+    *     members inherit their representative's near-dup matches.
+    *  2. per-bucket size CAP — buckets larger than `maxBucket` (boilerplate
+    *     black holes) are dropped from candidate generation, bounding the
+    *     self-join at O(maxBucket × buckets). One window over the banding
+    *     shuffle, no extra pass.
+    */
+  private def collapseExact(df: DataFrame, idCol: String, textCol: String)
+    : (DataFrame, DataFrame) = {
+    val w = Window.partitionBy(col("__h")).orderBy(col("id"))
+    val hashed = df
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .withColumn("__h", md5(col("text")))
+      .withColumn("__rep", first(col("id")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val reps = hashed.filter(col("id") === col("__rep")).select("id", "text")
+    val dupPairs = hashed.filter(col("id") =!= col("__rep"))
+      .select(col("__rep").as("id_a"), col("id").as("id_b"))
+    (reps, dupPairs)
+  }
+
+  private def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
+    val w = Window.partitionBy(col("band"), col("bkey"))
+    banded
+      .withColumn("__bsz", count(lit(1)).over(w))
+      .filter(col("__bsz") <= maxBucket)
+      .drop("__bsz")
+  }
+
   /** Near-duplicate pairs by MinHash+LSH: `bands` bands of `rows` hashes;
     * a pair collides if any band matches; collisions are verified with the
     * exact shingle Jaccard (no false positives leave this operator).
+    * Exact duplicates are pre-collapsed (emitted with jaccard 1.0) and
+    * buckets larger than `maxBucket` are dropped — see the hot-bucket note.
     * Returns (id_a, id_b, jaccard) with id_a < id_b.
     */
   def minhashPairs(
@@ -97,12 +135,13 @@ object DedupOps {
       bands: Int = 16,
       rowsPerBand: Int = 8,
       threshold: Double = 0.7,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      maxBucket: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
     val spark = df.sparkSession
     import spark.implicits._
-    val sigs = df
-      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    val (reps, dupPairs) = collapseExact(df, idCol, textCol)
+    val sigs = reps
       .as[(Long, String)]
       .map { case (id, text) =>
         val sh = shingles(text, shingleK)
@@ -112,14 +151,15 @@ object DedupOps {
       .cache()
 
     // band key = hash of the band's slice of the signature
-    val banded = sigs.select(
+    val banded = capBuckets(sigs.select(
       col("id"),
       explode(array((0 until bands).map { b =>
         struct(
           lit(b).as("band"),
           hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bkey"))
       }: _*)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey")),
+      maxBucket)
 
     val cand = banded.as("l")
       .join(banded.as("r"),
@@ -141,8 +181,9 @@ object DedupOps {
       }
       .toDF("id_a", "id_b", "jaccard")
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
     verified
+      .unionAll(dupPairs.withColumn("jaccard", lit(1.0)))
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
   /** Exact n-gram Jaccard similarity for given candidate pairs (id_a,id_b). */
@@ -201,37 +242,42 @@ object DedupOps {
   /** Near-duplicate pairs with hamming(simhash) <= maxHamming (< 4): band
     * the 64-bit hash into 4×16-bit blocks; pigeonhole guarantees one equal
     * block, so the bucket join finds all such pairs; verify exact hamming.
+    * Exact duplicates are pre-collapsed (emitted with hamming 0) and hot
+    * buckets capped — see the hot-bucket note above.
     */
   def simhashPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
     require(maxHamming < 4, "4×16-bit banding covers hamming <= 3")
     val spark = df.sparkSession
     import spark.implicits._
-    val hashed = df
-      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    val (reps, dupPairs) = collapseExact(df, idCol, textCol)
+    val hashed = reps
       .as[(Long, String)]
       .map { case (id, t) => (id, simhash64(t)) }
       .toDF("id", "sh")
       .cache()
-    val banded = hashed.select(
+    val banded = capBuckets(hashed.select(
       col("id"), col("sh"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
-          shiftright(col("sh"), b * 16).bitwiseAND(lit(0xffffL)).as("block"))
+          shiftright(col("sh"), b * 16).bitwiseAND(lit(0xffffL)).as("bkey"))
       }: _*)).as("bk"))
-      .select(col("id"), col("sh"), col("bk.band").as("band"), col("bk.block").as("block"))
+      .select(col("id"), col("sh"), col("bk.band").as("band"), col("bk.bkey").as("bkey")),
+      maxBucket)
     banded.as("l")
       .join(banded.as("r"),
-        col("l.band") === col("r.band") && col("l.block") === col("r.block") &&
+        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
           col("l.id") < col("r.id"))
       .select(
         col("l.id").as("id_a"), col("r.id").as("id_b"),
         bit_count(col("l.sh").bitwiseXOR(col("r.sh"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+      .unionAll(dupPairs.withColumn("hamming", lit(0)))
   }
 
   // ------------------------------------------------------------- embedding

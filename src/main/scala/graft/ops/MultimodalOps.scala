@@ -91,11 +91,15 @@ object MultimodalOps {
             }
             b += 1
           }
+          // floor(x*1e4 + 0.5): half-away-from-zero for positives — the
+          // rounding DuckDB-expressible as floor(x*10000 + 0.5)/10000, so
+          // the oracle reproduces identical doubles (math.rint is half-even
+          // and diverges on exact .5 cases like 93.90625)
           Row(
             r.getAs[Long]("media_id"), r.getAs[String]("kind"),
             payload.length.toLong,
-            math.rint(sum / pixels.length * 10000) / 10000,
-            math.rint(entropy * 10000) / 10000)
+            math.floor(sum / pixels.length * 10000 + 0.5) / 10000,
+            math.floor(entropy * 10000 + 0.5) / 10000)
         }
       }
   }

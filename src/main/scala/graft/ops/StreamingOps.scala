@@ -12,29 +12,59 @@ import org.apache.spark.sql.functions._
   */
 object StreamingOps {
 
-  /** Tumbling 5-minute event counts per type, via readStream -> watermark ->
-    * window -> memory sink (processAllAvailable = run to completion on the
-    * static input, which makes streaming ≡ batch for the oracle).
-    */
-  def windowedEventCounts(spark: SparkSession, dir: String): DataFrame = {
+  private def windowedAgg(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     val schema = spark.read.parquet(path).schema
     // readStream needs a directory source; glob-filter to the events file
-    val stream = spark.readStream.schema(schema)
+    spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
       // parquet timestamps surface as TIMESTAMP_NTZ; event-time needs TIMESTAMP
       // (session TZ is UTC so the wall-clock value is unchanged)
       .withColumn("ts", col("ts").cast("timestamp"))
-    val agg = stream
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"))
+  }
+
+  /** PRODUCTION shape: append-mode file sink. Each window is emitted
+    * exactly once, when the watermark passes it — state holds only the
+    * open windows, nothing accumulates on the driver (a complete-mode
+    * memory sink would pin the entire aggregate there forever, a
+    * scale-killer on an unbounded firehose). Windows still inside the
+    * watermark at end-of-input remain unemitted — inherent to append mode.
+    */
+  def windowedEventCountsToFiles(
+      spark: SparkSession,
+      dir: String,
+      outDir: String,
+      checkpointDir: String): Unit = {
+    val q = windowedAgg(spark, dir)
+      .select(
+        col("window.start").cast("string").as("window_start"),
+        col("event_type"), col("n_events"), col("min_value"), col("max_value"))
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+  }
+
+  /** ORACLE HARNESS ONLY: same aggregation through a complete-mode memory
+    * sink so the static input yields the full batch-equivalent result for
+    * the DuckDB compare. The memory sink materializes the aggregate on the
+    * driver — fine for a test harness, never for production (use
+    * windowedEventCountsToFiles there).
+    */
+  def windowedEventCounts(spark: SparkSession, dir: String): DataFrame = {
     val qname = "events_agg_" + math.abs(dir.hashCode).toString
-    val q = agg.writeStream
+    val q = windowedAgg(spark, dir).writeStream
       .outputMode("complete")
       .format("memory")
       .queryName(qname)
@@ -49,30 +79,25 @@ object StreamingOps {
       col("max_value"))
   }
 
-  /** Stateful sessionization per user: mapGroupsWithState over the static
-    * events (batch mode of the same KeyValueGroupedDataset API), emitting
-    * per-user session counts with a 30-minute gap rule. Deterministic.
+  /** Sessionization per user with a 30-minute gap rule, as a pure window-
+    * function plan: lag over (user_id, ts) + conditional sum. Unlike a
+    * mapGroups that materializes every event of a user in task memory (a
+    * hot user with 10⁹ events OOMs), the window sort spills through
+    * Spark's external sorter and the aggregation is codegen'd — the only
+    * shape that survives web-scale event logs.
     */
   def userSessions(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val events = spark.read.parquet(s"$dir/events.parquet")
-      .select(col("user_id").cast("long"),
-        unix_micros(col("ts").cast("timestamp")).as("ts_us"))
-      .as[(Long, Long)]
+    import org.apache.spark.sql.expressions.Window
     val GapUs = 1800L * 1000000L // 30 minutes in microseconds (exact)
-    events
-      .groupByKey(_._1)
-      .mapGroups { (user, it) =>
-        val times = it.map(_._2).toArray
-        java.util.Arrays.sort(times)
-        var sessions = 1
-        var i = 1
-        while (i < times.length) {
-          if (times(i) - times(i - 1) > GapUs) sessions += 1
-          i += 1
-        }
-        (user, sessions.toLong, times.length.toLong)
-      }
-      .toDF("user_id", "n_sessions", "n_events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id").cast("long").as("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+      .withColumn("gap", col("ts_us") - lag(col("ts_us"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(
+        (lit(1L) + coalesce(
+          sum(when(col("gap") > GapUs, 1L).otherwise(0L)), lit(0L))).as("n_sessions"),
+        count(lit(1)).as("n_events"))
   }
 }

@@ -99,6 +99,10 @@ object LanguageIdExpr {
     "pt" -> Array(" o ", " que ", " de ", " e ", " para ", " com ", " uma "),
     "nl" -> Array(" de ", " het ", " een ", " en ", " van ", " niet ", " met "))
 
+  /** Non-overlapping marker counting (advance past each hit) — the same
+    * count as `(len(s) - len(replace(s, m, ''))) / len(m)`, so the score is
+    * SQL-expressible for the driver oracle.
+    */
   def detect(lowered: String): String = {
     val padded = " " + lowered + " "
     var best = "und"
@@ -108,7 +112,7 @@ object LanguageIdExpr {
       var i = 0
       while (i < markers.length) {
         var from = padded.indexOf(markers(i))
-        while (from >= 0) { score += 1; from = padded.indexOf(markers(i), from + 1) }
+        while (from >= 0) { score += 1; from = padded.indexOf(markers(i), from + markers(i).length) }
         i += 1
       }
       if (score > bestScore) { bestScore = score; best = lang }

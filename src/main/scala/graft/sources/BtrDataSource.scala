@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -21,9 +21,11 @@ import java.util.{Map => JMap}
   * a DataFusion TableProvider with NO pushdown
   * (/root/reference/src/datafusion.rs:42-74, scan :64-73 ignores
   * projection/filters, single partition :88); this connector improves on
-  * it: one InputPartition per block file (parallel scan) and column
-  * pruning that SKIPS pruned columns' bytes entirely (the per-chunk frame
-  * stores each column's blob length).
+  * it twice over: one InputPartition per block file (parallel scan),
+  * column pruning that SKIPS pruned columns' bytes entirely (the per-chunk
+  * frame stores each column's blob length), and range-filter pushdown that
+  * skips whole CHUNKS against the frame's per-column zone maps without
+  * reading their blobs.
   */
 class BtrDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "btr"
@@ -57,9 +59,13 @@ class BtrBatchTable(dir: String, schema: StructType) extends Table with Supports
     new BtrScanBuilder(dir, schema)
 }
 
+/** Inclusive [lo, hi] zone constraint on one column (by file column index). */
+case class ZoneRange(colIdx: Int, lo: Long, hi: Long)
+
 class BtrScanBuilder(dir: String, fullSchema: StructType)
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // preserve file column order for the positional frame decode
@@ -67,15 +73,43 @@ class BtrScanBuilder(dir: String, fullSchema: StructType)
     required = StructType(fullSchema.fields.filter(f => wanted.contains(f.name)))
   }
 
-  override def build(): Scan = new BtrScan(dir, fullSchema, required)
+  private def intCol(name: String): Option[Int] = {
+    val i = fullSchema.fieldNames.indexOf(name)
+    if (i >= 0 && fullSchema.fields(i).dataType == IntegerType) Some(i) else None
+  }
+
+  private def rangeOf(f: Filter): Option[ZoneRange] = f match {
+    case GreaterThan(a, v: Number)        => intCol(a).map(ZoneRange(_, v.longValue + 1, Long.MaxValue))
+    case GreaterThanOrEqual(a, v: Number) => intCol(a).map(ZoneRange(_, v.longValue, Long.MaxValue))
+    case LessThan(a, v: Number)           => intCol(a).map(ZoneRange(_, Long.MinValue, v.longValue - 1))
+    case LessThanOrEqual(a, v: Number)    => intCol(a).map(ZoneRange(_, Long.MinValue, v.longValue))
+    case EqualTo(a, v: Number)            => intCol(a).map(ZoneRange(_, v.longValue, v.longValue))
+    case _                                => None
+  }
+
+  /** Keep range filters on int columns for zone-map chunk skipping. The
+    * full filter set is returned unhandled: zone maps only SKIP chunks,
+    * Spark still evaluates every predicate on the surviving rows.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f => rangeOf(f).isDefined)
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new BtrScan(dir, fullSchema, required, pushed.flatMap(rangeOf))
 }
 
-class BtrScan(dir: String, fullSchema: StructType, required: StructType)
+class BtrScan(dir: String, fullSchema: StructType, required: StructType, zones: Array[ZoneRange])
   extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"BtrScan(dir=$dir, columns=${required.fieldNames.mkString(",")})"
+    s"BtrScan(dir=$dir, columns=${required.fieldNames.mkString(",")}" +
+      (if (zones.isEmpty) ")"
+       else s", zoneFilters=${zones.map(z => s"${fullSchema.fieldNames(z.colIdx)}:[${z.lo},${z.hi}]").mkString(";")})")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
@@ -93,7 +127,7 @@ class BtrScan(dir: String, fullSchema: StructType, required: StructType)
     val colIdx = required.fieldNames.map(n => fullSchema.fieldIndex(n))
     val colTypes = fullSchema.fields.map(f =>
       graft.engine.BtrEncoder.supportedType(f.dataType).get)
-    BtrReaderFactory(confB, colIdx, colTypes)
+    BtrReaderFactory(confB, colIdx, colTypes, zones)
   }
 }
 
@@ -102,22 +136,26 @@ case class BtrInputPartition(file: String) extends InputPartition
 case class BtrReaderFactory(
     confB: org.apache.spark.broadcast.Broadcast[ConfShim.SerConf],
     requiredIdx: Array[Int],
-    colTypes: Array[Int])
+    colTypes: Array[Int],
+    zones: Array[ZoneRange])
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new BtrPartitionReader(
-      partition.asInstanceOf[BtrInputPartition].file, ConfShim.conf(confB), requiredIdx, colTypes)
+      partition.asInstanceOf[BtrInputPartition].file, ConfShim.conf(confB),
+      requiredIdx, colTypes, zones)
 }
 
 /** Streams one block file chunk-by-chunk (bounded memory — the reference's
   * ChunkedDecompressionStream semantics, pull-based). Pruned columns'
-  * blobs are skipped via their frame lengths without decoding.
+  * blobs are skipped via their frame lengths without decoding; chunks whose
+  * zone maps miss every pushed range are skipped whole.
   */
 class BtrPartitionReader(
     file: String,
     conf: org.apache.hadoop.conf.Configuration,
     requiredIdx: Array[Int],
-    colTypes: Array[Int])
+    colTypes: Array[Int],
+    zones: Array[ZoneRange] = Array.empty)
   extends PartitionReader[InternalRow] {
 
   private val path = new Path(file)
@@ -125,12 +163,18 @@ class BtrPartitionReader(
   private val fileLen = fs.getFileStatus(path).getLen
   private val in = fs.open(path)
   private var pos = 0L
+  private var version = 1
+
+  /** Chunks skipped via zone maps (observable for tests/metrics). */
+  var chunksSkipped: Long = 0L
 
   locally {
     val hdr = new Array[Byte](5)
     in.readFully(hdr)
     val magic = (hdr(0) & 0xff) | ((hdr(1) & 0xff) << 8) | ((hdr(2) & 0xff) << 16) | ((hdr(3) & 0xff) << 24)
     require(magic == BlockFiles.Magic, s"not a btr block file: $file")
+    version = hdr(4) & 0xff
+    require(version == 1 || version == 2, s"unsupported btr block version $version: $file")
     pos = 5
   }
 
@@ -139,6 +183,7 @@ class BtrPartitionReader(
   private var chunkRows = 0
   private var rowIdx = 0
   private val row = new GenericInternalRow(requiredIdx.length)
+  private val zonesByCol: Map[Int, Array[ZoneRange]] = zones.groupBy(_.colIdx)
 
   private def readI32(): Int = {
     val b = new Array[Byte](4)
@@ -147,17 +192,41 @@ class BtrPartitionReader(
     (b(0) & 0xff) | ((b(1) & 0xff) << 8) | ((b(2) & 0xff) << 16) | ((b(3) & 0xff) << 24)
   }
 
+  private def readI64(): Long =
+    (readI32().toLong & 0xffffffffL) | (readI32().toLong << 32)
+
   private def loadNextChunk(): Boolean = {
     if (pos >= fileLen) return false
     chunkRows = readI32()
     val nCols = { val b = in.read(); pos += 1; b }
     val types = new Array[Int](nCols)
     val lens = new Array[Int](nCols)
+    var skipChunk = false
     var c = 0
     while (c < nCols) {
       types(c) = { val b = in.read(); pos += 1; b }
       lens(c) = readI32()
+      if (version >= 2) {
+        val hasZone = { val b = in.read(); pos += 1; b }
+        val mn = readI64()
+        val mx = readI64()
+        if (hasZone == 1) zonesByCol.get(c).foreach { rs =>
+          if (rs.exists(z => mx < z.lo || mn > z.hi)) skipChunk = true
+        }
+      }
       c += 1
+    }
+    if (skipChunk) {
+      var total = 0L
+      var k = 0
+      while (k < nCols) { total += lens(k); k += 1 }
+      in.seek(pos + total)
+      pos += total
+      chunksSkipped += 1
+      chunkRows = 0
+      rowIdx = 0
+      decoded = null
+      return true // caller loops for the next chunk
     }
     val wanted = requiredIdx.toSet
     decoded = new Array[AnyRef](requiredIdx.length)
@@ -185,7 +254,7 @@ class BtrPartitionReader(
   }
 
   override def next(): Boolean = {
-    while (rowIdx >= chunkRows) {
+    while (rowIdx >= chunkRows || decoded == null) {
       if (!loadNextChunk()) return false
     }
     var o = 0

@@ -72,6 +72,22 @@ class EngineSpec extends AnyFunSuite {
     assert(only.select("lang").distinct().count() <= 10)
   }
 
+  test("loadPruned: zone-map chunk pruning with no broadcast exchange") {
+    val dir = tmpDir("zprune")
+    BtrTable.write(sourceDf, dir, cfg, rangeCols = Seq("row_id"))
+    val pruned = BtrTable.loadPruned(spark, dir, "row_id", 100, 199)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastExchange"), s"pruning must not broadcast:\n$plan")
+    assert(pruned.filter(col("row_id").between(100, 199)).count() == 100)
+    // chunks outside the range were skipped, not just row-filtered
+    assert(pruned.count() < 3000, "pruned scan must decode fewer chunks than the table")
+    // validation: unknown or non-integer prune columns throw instead of
+    // silently pruning everything (their zone maps are null)
+    intercept[IllegalArgumentException] { BtrTable.loadPruned(spark, dir, "no_such", 0, 1) }
+    intercept[IllegalArgumentException] { BtrTable.loadPruned(spark, dir, "lang", 0, 1) }
+    intercept[IllegalArgumentException] { BtrTable.loadPruned(spark, dir, "row_id", 0, 1, columns = Seq("nope")) }
+  }
+
   test("resumable write: restart after partial completion finishes the table") {
     val dir = tmpDir("resume")
     val src = sourceDf

@@ -37,9 +37,36 @@ class OpsSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     val pairs = DedupOps.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // exact dup (4 == 1) comes from the pre-collapse stage with jaccard 1.0;
+    // dup members inherit the representative's near-dup matches, so (2,4)
+    // is implied by (1,2) + (1,4) rather than emitted
     assert(pairs.contains((1L, 4L)), s"exact dup must collide: $pairs")
-    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L)), s"near dup: $pairs")
+    assert(pairs.contains((1L, 2L)), s"near dup: $pairs")
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"no false pair with 3: $pairs")
+  }
+
+  test("hot-bucket defense: boilerplate flood stays bounded") {
+    // 3000 exact copies + 400 distinct-but-near-identical docs (common body,
+    // unique suffix): unbounded LSH would self-join a 400-doc bucket per
+    // band; the cap drops oversized buckets, the collapse kills the copies
+    val body = ("boilerplate header " * 40).trim
+    val docs = (
+      (1L to 3000L).map(i => (i, body)) ++
+        (3001L to 3400L).map(i => (i, s"$body unique tail $i"))
+      ).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val pairs = DedupOps.minhashPairs(docs, "doc_id", "text",
+      threshold = 0.5, maxBucket = 50)
+    val exactPairs = pairs.filter(col("jaccard") === 1.0).count()
+    val nearPairs = pairs.filter(col("jaccard") < 1.0).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    // 2999 (rep=1, dup) pairs from the collapse; near-dup candidates bounded
+    // by maxBucket^2/2 per (band,bucket), NOT 400^2
+    assert(exactPairs == 2999L, s"collapse pairs: $exactPairs")
+    assert(nearPairs <= 16L * 50 * 50, s"capped candidates: $nearPairs")
+    assert(sec < 120, s"flood must not blow up: $sec s")
+    val sim = DedupOps.simhashPairs(docs, "doc_id", "text", maxBucket = 50)
+    assert(sim.filter(col("hamming") === 0 && col("id_a") === 1L).count() == 2999L)
   }
 
   test("jaccard + shingles basics") {
@@ -147,6 +174,46 @@ class OpsSpec extends AnyFunSuite {
     val again = Seq((9L, "The cat and the dog are in the house.")).toDF("doc_id", "text")
       .select(TextOps.fingerprint(col("text"))).head().getLong(0)
     assert(fp1 == again)
+  }
+
+  test("streaming append-mode file sink emits finalized windows only") {
+    import java.nio.file.Paths
+    def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
+    val base = Paths.get("target", "tmp", "stream_files").toFile
+    if (base.exists()) rm(base)
+    base.mkdirs()
+    // static events table: 100 events over ~100 minutes for 2 types
+    val src = Paths.get("target", "tmp", "stream_files", "src").toString
+    val events = (0 until 100).map { i =>
+      (i.toLong % 5, java.sql.Timestamp.valueOf(f"2025-01-01 10:${i % 60}%02d:00"),
+        if (i % 2 == 0) "click" else "view", i * 1.0)
+    }.toDF("user_id", "ts", "event_type", "value")
+    // testdata layout: events.parquet is a single FILE (the glob filter in
+    // the streaming source matches leaf file names)
+    events.coalesce(1).write.mode("overwrite").parquet(s"$src/staging")
+    val part = Paths.get(src, "staging").toFile.listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.createDirectories(Paths.get(src))
+    java.nio.file.Files.move(part.toPath, Paths.get(src, "events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+
+    val out = s"$base/out"
+    StreamingOps.windowedEventCountsToFiles(spark, src, out, s"$base/ckpt")
+    val emitted = spark.read.parquet(out)
+    // append mode: all windows strictly below (maxTs - 10min watermark)
+    // finalize; the tail windows stay open. Emitted rows must agree with
+    // the batch aggregation exactly.
+    assert(emitted.count() > 0, "finalized windows must be emitted")
+    val batch = events
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .select(col("window.start").cast("string").as("window_start"),
+        col("event_type"), col("n_events"), col("min_value"), col("max_value"))
+    assert(emitted.except(batch).count() == 0,
+      "every emitted window must match the batch aggregation")
+    assert(emitted.count() < batch.count(),
+      "open tail windows must not be emitted in append mode")
   }
 
   test("multimodal: binary plumbing, stub decode features, frame sampling") {

@@ -71,6 +71,41 @@ class BtrSourceSpec extends AnyFunSuite {
     assert(r.length == 1 && r(0).getString(1) == "Jack" && r(0).getDouble(2) == 4.20)
   }
 
+  test("filter pushdown: zone maps skip whole chunks; results stay exact") {
+    import spark.implicits._
+    val dir = tmp("zskip")
+    // range layout on id => per-chunk zone maps are tight, a selective
+    // range must skip most chunks
+    val df = (0 until 8192).map(i => (i, s"payload_$i", i * 1.5)).toDF("id", "s", "d")
+    BlockFiles.write(df, dir, BtrConfig(blockSize = 256), rangeCols = Seq("id"))
+
+    val q = spark.read.format("btr").load(dir).where(col("id").between(1000, 1099))
+    // the filter reached the scan (visible in the plan description)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("zoneFilters=id:"), s"pushed zone filter must show in scan:\n$plan")
+    val rows = q.collect()
+    assert(rows.length == 100)
+    assert(rows.map(_.getInt(0)).sorted.toSeq == (1000 to 1099))
+
+    // reader-level evidence: chunks outside the range are skipped unread
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(s"$dir/blocks").getFileSystem(conf)
+    val files = fs.listStatus(new Path(s"$dir/blocks"))
+      .map(_.getPath.toString).filter(_.contains("part-")).sorted
+    var skipped = 0L
+    var read = 0L
+    files.foreach { f =>
+      val r = new BtrPartitionReader(f, conf, Array(0), Array(0, 2, 1),
+        Array(ZoneRange(0, 1000, 1099)))
+      while (r.next()) read += 1
+      skipped += r.chunksSkipped
+      r.close()
+    }
+    assert(skipped > 20, s"most of the 32 chunks must be skipped, got $skipped")
+    assert(read < 8192 && read >= 100, s"surviving rows bounded: $read")
+  }
+
   test("task-commit protocol: retried/speculative attempts leave one readable copy") {
     import graft.engine.BtrEncoder
     import org.apache.hadoop.fs.Path
