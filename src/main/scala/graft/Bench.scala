@@ -109,9 +109,29 @@ object Bench {
       BlockFiles.write(df, s"$outDir/run$i", BtrConfig.default)
       val sec = (System.nanoTime() - t0) / 1e9
       if (sec < bestMap) bestMap = sec
-      rmOut(s"run$i")
+      if (i < reps - 1) rmOut(s"run$i") // keep the last output for decode
     }
-    println(s"BENCH_ENCODE $best $raw $enc $bestMap")
+    // mode 3: full decode of the blocks just written, via the DSv2 source —
+    // every column materialized (length-sums defeat pruning and lazy skip),
+    // throughput measured against the RAW decoded size (the paper's
+    // decompression-speed axis)
+    var bestDec = Double.MaxValue
+    val blocksDir = s"$outDir/run${reps - 1}"
+    val strCols = spark.read.parquet(inputDir).schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.StringType).map(_.name)
+    for (_ <- 0 until reps) {
+      val t0 = System.nanoTime()
+      val back = spark.read.format("btr").load(blocksDir)
+      val aggs = org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("row_id").cast("long")) +:
+        strCols.map(c => org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.length(org.apache.spark.sql.functions.col(c))).cast("long"))
+      back.agg(aggs.head, aggs.tail: _*).collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (sec < bestDec) bestDec = sec
+    }
+    rmOut(s"run${reps - 1}")
+    println(s"BENCH_ENCODE $best $raw $enc $bestMap $bestDec")
     spark.stop()
   }
 
@@ -125,8 +145,10 @@ object Bench {
     "java.base/sun.security.action", "java.base/sun.util.calendar")
     .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
-  /** Fork a child JVM running `graft.Bench encode <cores> <in> <out>`. */
-  private def forkEncode(cores: Int, inputDir: String, outDir: String): (Double, Long, Long, Double) = {
+  /** Fork a child JVM running `graft.Bench encode <cores> <in> <out>`.
+    * Returns (rangeSec, rawBytes, encBytes, mapsideSec, decodeSec).
+    */
+  private def forkEncode(cores: Int, inputDir: String, outDir: String): (Double, Long, Long, Double, Double) = {
     val java = s"${System.getProperty("java.home")}/bin/java"
     val cp = System.getProperty("java.class.path")
     val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")
@@ -143,7 +165,7 @@ object Bench {
       sys.error(s"child encode run failed (exit $code)")
     }
     val parts = line.split(" ")
-    (parts(1).toDouble, parts(2).toLong, parts(3).toLong, parts(4).toDouble)
+    (parts(1).toDouble, parts(2).toLong, parts(3).toLong, parts(4).toDouble, parts(5).toDouble)
   }
 
   def main(args: Array[String]): Unit = {
@@ -179,9 +201,9 @@ object Bench {
     // adding executors (which bring their own memory buses). The (8, 4N)
     // pair is reported too: it is bandwidth-confounded on one box.
     val coresLow = math.max(1, cpus / 16)
-    var (secLow, _, _, secLowMap) = forkEncode(coresLow, inputDir, s"$base/low")
-    var (secN, rawBytes, encBytes, secNMap) = forkEncode(coresN, inputDir, s"$base/n")
-    var (sec4N, _, _, sec4NMap) = forkEncode(cpus, inputDir, s"$base/4n")
+    var (secLow, _, _, secLowMap, secLowDec) = forkEncode(coresLow, inputDir, s"$base/low")
+    var (secN, rawBytes, encBytes, secNMap, secNDec) = forkEncode(coresN, inputDir, s"$base/n")
+    var (sec4N, _, _, sec4NMap, sec4NDec) = forkEncode(cpus, inputDir, s"$base/4n")
 
     // noise hedge: a co-tenant burst during one level's whole block makes
     // the pair ratio meaningless. If a pair misses its target, re-fork the
@@ -191,12 +213,15 @@ object Bench {
     if (effOf(secLow, secN, 4) < 0.84 || effOf(secLowMap, secNMap, 4) < 0.84) {
       val r1 = forkEncode(coresLow, inputDir, s"$base/low")
       secLow = math.min(secLow, r1._1); secLowMap = math.min(secLowMap, r1._4)
+      secLowDec = math.min(secLowDec, r1._5)
       val r2 = forkEncode(coresN, inputDir, s"$base/n")
       secN = math.min(secN, r2._1); secNMap = math.min(secNMap, r2._4)
+      secNDec = math.min(secNDec, r2._5)
     }
     if (effOf(secNMap, sec4NMap, 4) < 0.5) {
       val r3 = forkEncode(cpus, inputDir, s"$base/4n")
       sec4N = math.min(sec4N, r3._1); sec4NMap = math.min(sec4NMap, r3._4)
+      sec4NDec = math.min(sec4NDec, r3._5)
     }
 
     val gb = rawBytes / 1e9
@@ -231,6 +256,8 @@ object Bench {
         f""""scaling_efficiency_n_4n":$eff%.3f,""" +
         f""""gbps_mapside_low":${gb / secLowMap}%.4f,"gbps_mapside_n":${gb / secNMap}%.4f,"gbps_mapside_4n":${gb / sec4NMap}%.4f,""" +
         f""""scaling_efficiency_mapside":$effMapLow%.3f,"scaling_efficiency_mapside_n_4n":$effMap%.3f,""" +
+        f""""gbps_decode_low":${gb / secLowDec}%.4f,"gbps_decode_n":${gb / secNDec}%.4f,"gbps_decode_4n":${gb / sec4NDec}%.4f,""" +
+        f""""scaling_efficiency_decode":${effOf(secLowDec, secNDec, 4)}%.3f,""" +
         f""""compression_ratio":$ratio%.3f,""" +
         f""""input_gb":$gb%.3f,"sec_low":$secLow%.2f,"sec_n":$secN%.2f,"sec_4n":$sec4N%.2f,"rows":$benchRows}"""
     println(

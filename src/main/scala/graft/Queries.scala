@@ -243,6 +243,24 @@ object Queries {
       .filter(col("doc_id").between(100, 199))
   }
 
+  /** CSV ingest surface end-to-end (the reference's from-csv CLI,
+    * /root/reference/src/btrblocks.rs:382-539): documents → CSV files →
+    * BtrCsv.fromCsv (schema-typed parse + reference null defaults) →
+    * encode → decode. Oracle = identity SELECT. Columns without embedded
+    * newlines (the multiline-text CSV case is covered by GoldenSpec).
+    */
+  private def rtCsv(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch(s, s"rt_csv_${math.abs(dir.hashCode)}")
+    val docs = t(s, dir, "documents").select(
+      col("doc_id").cast("int").as("doc_id"), col("lang"), col("source"),
+      col("n_chars").cast("int").as("n_chars"))
+    docs.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+    graft.engine.BtrCsv.fromCsv(s, s"$base/csv", s"$base/btr",
+      Seq("doc_id" -> ColType.Integer, "lang" -> ColType.String,
+        "source" -> ColType.String, "n_chars" -> ColType.Integer))
+    BtrTable.load(s, s"$base/btr")
+  }
+
   /** Filter pushdown INTO the DSv2 source: the range predicate reaches
     * BtrScan (SupportsPushDownFilters), whose reader skips whole chunks by
     * the frame's per-column zone maps without reading their blobs — the
@@ -394,6 +412,7 @@ object Queries {
     "q_setop" -> (qSetop _),
     "q_prune" -> (qPrune _),
     "q_prune_source" -> (qPruneSource _),
+    "rt_csv" -> (rtCsv _),
     "rt_source" -> (rtSource _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
@@ -461,6 +480,9 @@ object Queries {
         "WHERE doc_id BETWEEN 100 AND 199"),
     "rt_source" ->
       "SELECT CAST(doc_id AS INTEGER) AS doc_id, lang FROM documents",
+    "rt_csv" ->
+      ("SELECT CAST(doc_id AS INTEGER) AS doc_id, lang, source, " +
+        "CAST(n_chars AS INTEGER) AS n_chars FROM documents"),
     "text_tokens" ->
       ("SELECT CAST(doc_id AS BIGINT) AS doc_id, " +
         "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +

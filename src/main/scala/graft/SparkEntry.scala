@@ -19,7 +19,7 @@ object SparkEntry {
     */
   def entry(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val dir = "file:/root/repo/target/tmp/flagship_btr"
+    val dir = "file:" + java.nio.file.Paths.get("target", "tmp", "flagship_btr").toAbsolutePath
     val src = SourceCodeGen.table(spark, 20000).toDF()
       .select(
         $"row_id".cast("int").as("row_id"),

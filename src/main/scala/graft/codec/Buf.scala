@@ -59,6 +59,11 @@ final class BufWriter(initialCapacity: Int = 1 << 12) {
   }
 
   def result(): Array[Byte] = java.util.Arrays.copyOf(arr, pos)
+
+  /** The internal buffer (valid up to `size`) — lets arena consumers avoid
+    * the final copy. The writer must not be reused afterwards.
+    */
+  def buffer: Array[Byte] = arr
 }
 
 /** Sequential little-endian reader over an encoded block. */

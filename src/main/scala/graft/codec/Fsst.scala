@@ -218,13 +218,23 @@ final class FsstTable(val symbols: Array[Array[Byte]]) {
   /** Decompress `clen` compressed bytes from `in` into a fresh array. */
   def decompress(in: BufReader, clen: Int): Array[Byte] = {
     val out = new BufWriter(clen * 3)
+    decompressInto(in, clen, out)
+    out.result()
+  }
+
+  /** Decompress into a shared arena writer; returns the decompressed
+    * length. Avoids the per-string BufWriter + result() copy of
+    * `decompress` on the hot decode path.
+    */
+  def decompressInto(in: BufReader, clen: Int, out: BufWriter): Int = {
+    val start = out.size
     val end = in.pos + clen
     while (in.pos < end) {
       val c = in.u8()
       if (c == Fsst.EscapeCode) out.u8(in.u8())
       else out.bytes(symbols(c))
     }
-    out.result()
+    out.size - start
   }
 
   def serialize(out: BufWriter): Unit = {

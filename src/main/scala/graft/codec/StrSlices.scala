@@ -25,6 +25,20 @@ final class StrSlices(val data: Array[Byte], val offsets: Array[Int], val count:
 }
 
 /** Growable builder for StrSlices. */
+/** Decoded string column as shared-arena views: value i is
+  * data[starts(i), starts(i)+lens(i)). Unlike StrSlices, values may ALIAS
+  * (OneValue repeats one region, Dict values point into the dict arena),
+  * so slices are not necessarily contiguous or disjoint — read-only.
+  */
+final class DecodedStrings(
+    val data: Array[Byte],
+    val starts: Array[Int],
+    val lens: Array[Int],
+    val count: Int) {
+  def copy(i: Int): Array[Byte] =
+    java.util.Arrays.copyOfRange(data, starts(i), starts(i) + lens(i))
+}
+
 final class StrSlicesBuilder(initialBytes: Int = 1 << 16, initialCount: Int = 1024) {
   private var data = new Array[Byte](initialBytes)
   private var offsets = new Array[Int](initialCount + 1)

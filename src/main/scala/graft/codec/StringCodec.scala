@@ -322,32 +322,69 @@ object StringCodec {
   // ---------------------------------------------------------------- decode
 
   def decode(in: BufReader): Array[Array[Byte]] = {
+    val d = decodeSlices(in)
+    val out = new Array[Array[Byte]](d.count)
+    var i = 0
+    while (i < d.count) { out(i) = d.copy(i); i += 1 }
+    out
+  }
+
+  /** Arena decode — the hot read path. No per-string allocation:
+    * Uncompressed values are VIEWS into the encoded block itself, OneValue
+    * aliases one region, Dict values point into the decoded dict's arena
+    * (pure index lookups, zero copying), and FSST decompresses into one
+    * shared arena. Consumers wrap values as UTF8String.fromBytes(data,
+    * start, len) without materializing per-string arrays.
+    */
+  def decodeSlices(in: BufReader): DecodedStrings = {
     val tag = in.u8()
     val len = in.i32()
-    val out = new Array[Array[Byte]](len)
     tag match {
       case TagUncompressed =>
         val lengths = IntCodec.decode(in)
+        val starts = new Array[Int](len)
+        var p = in.pos
         var i = 0
-        while (i < len) { out(i) = in.bytes(lengths(i)); i += 1 }
+        while (i < len) { starts(i) = p; p += lengths(i); i += 1 }
+        in.pos = p
+        new DecodedStrings(in.arr, starts, lengths, len)
       case TagOneValue =>
         val l = in.i32()
-        val s = in.bytes(l)
-        var i = 0
-        while (i < len) { out(i) = s; i += 1 }
+        val start = in.pos
+        in.pos += l
+        val starts = new Array[Int](len)
+        val lens = new Array[Int](len)
+        java.util.Arrays.fill(starts, start)
+        java.util.Arrays.fill(lens, l)
+        new DecodedStrings(in.arr, starts, lens, len)
       case TagDict =>
-        val dict = decode(in)
+        val dict = decodeSlices(in)
         val codes = IntCodec.decode(in)
+        val starts = new Array[Int](len)
+        val lens = new Array[Int](len)
         var i = 0
-        while (i < len) { out(i) = dict(codes(i)); i += 1 }
+        while (i < len) {
+          val c = codes(i)
+          starts(i) = dict.starts(c)
+          lens(i) = dict.lens(c)
+          i += 1
+        }
+        new DecodedStrings(dict.data, starts, lens, len)
       case TagFsst =>
         val table = Fsst.deserialize(in)
         val clens = IntCodec.decode(in)
-        in.i32() // blob length (redundant, for skipping)
+        val blobLen = in.i32()
+        val arena = new BufWriter(math.max(64, blobLen * 2))
+        val starts = new Array[Int](len)
+        val lens = new Array[Int](len)
         var i = 0
-        while (i < len) { out(i) = table.decompress(in, clens(i)); i += 1 }
+        while (i < len) {
+          starts(i) = arena.size
+          lens(i) = table.decompressInto(in, clens(i), arena)
+          i += 1
+        }
+        new DecodedStrings(arena.buffer, starts, lens, len)
     }
-    out
   }
 
   /** Top-level scheme description (for metrics/lineage) without decoding. */

@@ -59,9 +59,9 @@ object BtrDecoder {
       var c = 0
       while (c < nOut) {
         row.update(c, decoded(c) match {
-          case a: Array[Int]         => a(r)
-          case a: Array[Double]      => a(r)
-          case a: Array[Array[Byte]] => UTF8String.fromBytes(a(r))
+          case a: Array[Int]                  => a(r)
+          case a: Array[Double]               => a(r)
+          case d: graft.codec.DecodedStrings  => UTF8String.fromBytes(d.data, d.starts(r), d.lens(r))
         })
         c += 1
       }
@@ -103,7 +103,7 @@ object BtrDecoder {
         decoded(i) = p._2 match {
           case ColType.Integer => IntCodec.decode(new BufReader(p._3))
           case ColType.Double  => DoubleCodec.decode(new BufReader(p._3))
-          case ColType.String  => StringCodec.decode(new BufReader(p._3))
+          case ColType.String  => StringCodec.decodeSlices(new BufReader(p._3))
         }
         i += 1
       }

@@ -240,7 +240,8 @@ class BtrPartitionReader(
         decoded(out) = types(c) match {
           case t if t == ColType.Integer.toInt => IntCodec.decode(blob)
           case t if t == ColType.Double.toInt  => DoubleCodec.decode(blob)
-          case t if t == ColType.String.toInt  => StringCodec.decode(blob)
+          case t if t == ColType.String.toInt =>
+            StringCodec.decodeSlices(new BufReader(blob)) // arena, no per-string arrays
         }
       } else {
         // pruned column: skip without reading into memory
@@ -260,9 +261,9 @@ class BtrPartitionReader(
     var o = 0
     while (o < requiredIdx.length) {
       row.update(o, decoded(o) match {
-        case a: Array[Int]         => a(rowIdx)
-        case a: Array[Double]      => a(rowIdx)
-        case a: Array[Array[Byte]] => UTF8String.fromBytes(a(rowIdx))
+        case a: Array[Int]       => a(rowIdx)
+        case a: Array[Double]    => a(rowIdx)
+        case d: DecodedStrings   => UTF8String.fromBytes(d.data, d.starts(rowIdx), d.lens(rowIdx))
       })
       o += 1
     }

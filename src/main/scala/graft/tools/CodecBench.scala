@@ -37,11 +37,18 @@ object CodecBench {
     val encC = StringCodec.encode(contents, cfg)
     println(f"  content ratio ${contentBytes.toDouble / encC.length}%.2f scheme ${StringCodec.describeBlock(encC)}")
     time("string content decode", contentBytes, 3) { StringCodec.decode(encC) }
+    time("content decode (arena)", contentBytes, 3) {
+      StringCodec.decodeSlices(new BufReader(encC))
+    }
 
     // low-card strings (dict path)
     val langs = Array.tabulate(rows)(i => SourceCodeGen.row(i.toLong, 42L).lang.getBytes(UTF_8))
     val langBytes = langs.map(_.length.toLong).sum
     time("string lang encode", langBytes, 5) { StringCodec.encode(langs, cfg) }
+    val encL = StringCodec.encode(langs, cfg)
+    time("lang decode (arena)", langBytes, 10) {
+      StringCodec.decodeSlices(new BufReader(encL))
+    }
 
     // commits (high entropy)
     val commits = Array.tabulate(rows)(i => SourceCodeGen.row(i.toLong, 42L).commit.getBytes(UTF_8))

@@ -32,6 +32,15 @@ object ExplainCheck {
 
     println("===== q1_agg plan (parquet filter/projection pushdown) =====")
     graft.Queries.all("q1_agg")(spark, "/root/testdata/sf0.001").explain("formatted")
+
+    println("===== DSv2 source with range filter (zoneFilters in scan desc) =====")
+    val bdir = "file:/root/repo/target/tmp/explain_blocks"
+    graft.engine.BlockFiles.write(docs, bdir, BtrConfig.default, rangeCols = Seq("doc_id"))
+    spark.read.format("btr").load(bdir)
+      .where(col("doc_id").between(10, 20)).explain("formatted")
+
+    println("===== stream_sessions plan (window fn, no mapGroups) =====")
+    graft.ops.StreamingOps.userSessions(spark, "/root/testdata/sf0.001").explain("formatted")
     spark.stop()
   }
 }
