@@ -63,9 +63,15 @@ class BtrBatchTable(dir: String, schema: StructType) extends Table with Supports
 case class ZoneRange(colIdx: Int, lo: Long, hi: Long)
 
 class BtrScanBuilder(dir: String, fullSchema: StructType)
-  extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  extends ScanBuilder
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters
+    with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = -1
+  private var countStar = false
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // preserve file column order for the positional frame decode
@@ -98,20 +104,36 @@ class BtrScanBuilder(dir: String, fullSchema: StructType)
 
   override def pushedFilters(): Array[Filter] = pushed
 
+  /** Partial limit pushdown: each partition reader stops after `l` rows
+    * (returning false keeps Spark's own global Limit on top).
+    */
+  override def pushLimit(l: Int): Boolean = { limit = l; false }
+
+  /** COUNT(*) pushdown: row counts live in the chunk frame headers, so a
+    * count never has to touch (or decode) a single column blob. Partial
+    * pushdown — the scan emits one partial count per block file and Spark
+    * sums them. Spark only offers aggregates here when every filter was
+    * fully handled at the source; zone filters are reported as unhandled,
+    * so a filtered count() automatically falls back to row decoding.
+    */
+  override def supportCompletePushDown(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = false
+
+  override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val ok = agg.groupByExpressions.isEmpty && pushed.isEmpty && limit < 0 &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(
+        _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar])
+    if (ok) countStar = true
+    ok
+  }
+
   override def build(): Scan =
-    new BtrScan(dir, fullSchema, required, pushed.flatMap(rangeOf))
+    if (countStar) new BtrCountScan(dir)
+    else new BtrScan(dir, fullSchema, required, pushed.flatMap(rangeOf), limit)
 }
 
-class BtrScan(dir: String, fullSchema: StructType, required: StructType, zones: Array[ZoneRange])
-  extends Scan with Batch {
-  override def readSchema(): StructType = required
-  override def toBatch: Batch = this
-  override def description(): String =
-    s"BtrScan(dir=$dir, columns=${required.fieldNames.mkString(",")}" +
-      (if (zones.isEmpty) ")"
-       else s", zoneFilters=${zones.map(z => s"${fullSchema.fieldNames(z.colIdx)}:[${z.lo},${z.hi}]").mkString(";")})")
-
-  override def planInputPartitions(): Array[InputPartition] = {
+object BtrScan {
+  def listBlockFiles(dir: String): Array[InputPartition] = {
     val spark = SparkSession.active
     val blocks = new Path(s"$dir/blocks")
     val fs = blocks.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -120,6 +142,40 @@ class BtrScan(dir: String, fullSchema: StructType, required: StructType, zones: 
       .sortBy(_.getPath.getName)
       .map(st => BtrInputPartition(st.getPath.toString): InputPartition)
   }
+}
+
+class BtrScan(
+    dir: String,
+    fullSchema: StructType,
+    required: StructType,
+    zones: Array[ZoneRange],
+    limit: Int = -1)
+  extends Scan with Batch with SupportsReportStatistics {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"BtrScan(dir=$dir, columns=${required.fieldNames.mkString(",")}" +
+      (if (zones.isEmpty) "" else s", zoneFilters=${zones.map(z => s"${fullSchema.fieldNames(z.colIdx)}:[${z.lo},${z.hi}]").mkString(";")}") +
+      (if (limit >= 0) s", limit=$limit)" else ")")
+
+  /** Decoded-size statistics from the manifest — lets Catalyst see the
+    * real (uncompressed) relation size for join planning (e.g. broadcast
+    * a small decoded dimension) instead of guessing from file sizes.
+    */
+  override def estimateStatistics(): Statistics = {
+    val m = BtrTable.readManifest(SparkSession.active, dir)
+    val frac =
+      if (required.isEmpty) 0.05
+      else required.fieldNames.length.toDouble / math.max(1, fullSchema.length)
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(1L, (m.rawBytes * frac).toLong))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(m.numRows)
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = BtrScan.listBlockFiles(dir)
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.active
@@ -127,8 +183,77 @@ class BtrScan(dir: String, fullSchema: StructType, required: StructType, zones: 
     val colIdx = required.fieldNames.map(n => fullSchema.fieldIndex(n))
     val colTypes = fullSchema.fields.map(f =>
       graft.engine.BtrEncoder.supportedType(f.dataType).get)
-    BtrReaderFactory(confB, colIdx, colTypes, zones)
+    BtrReaderFactory(confB, colIdx, colTypes, zones, limit)
   }
+}
+
+/** COUNT(*) scan: one partial-count row per block file, from frame headers
+  * only — zero column blobs read or decoded.
+  */
+class BtrCountScan(dir: String) extends Scan with Batch {
+  private val outSchema = StructType(Seq(StructField("count", org.apache.spark.sql.types.LongType, nullable = false)))
+  override def readSchema(): StructType = outSchema
+  override def toBatch: Batch = this
+  override def description(): String = s"BtrCountScan(dir=$dir, headers-only)"
+  override def planInputPartitions(): Array[InputPartition] = BtrScan.listBlockFiles(dir)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val confB = ConfShim.broadcast(SparkSession.active.sparkContext)
+    BtrCountReaderFactory(confB)
+  }
+}
+
+case class BtrCountReaderFactory(confB: org.apache.spark.broadcast.Broadcast[ConfShim.SerConf])
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new BtrCountReader(partition.asInstanceOf[BtrInputPartition].file, ConfShim.conf(confB))
+}
+
+class BtrCountReader(file: String, conf: org.apache.hadoop.conf.Configuration)
+  extends PartitionReader[InternalRow] {
+  private var emitted = false
+  private val row = new GenericInternalRow(1)
+
+  override def next(): Boolean = {
+    if (emitted) return false
+    val path = new Path(file)
+    val fs = path.getFileSystem(conf)
+    val fileLen = fs.getFileStatus(path).getLen
+    val in = fs.open(path)
+    var total = 0L
+    try {
+      val hdr = new Array[Byte](5)
+      in.readFully(hdr)
+      val magic = (hdr(0) & 0xff) | ((hdr(1) & 0xff) << 8) | ((hdr(2) & 0xff) << 16) | ((hdr(3) & 0xff) << 24)
+      require(magic == BlockFiles.Magic, s"not a btr block file: $file")
+      val version = hdr(4) & 0xff
+      var pos = 5L
+      val b4 = new Array[Byte](4)
+      def i32(): Int = {
+        in.readFully(b4); pos += 4
+        (b4(0) & 0xff) | ((b4(1) & 0xff) << 8) | ((b4(2) & 0xff) << 16) | ((b4(3) & 0xff) << 24)
+      }
+      while (pos < fileLen) {
+        total += i32() // numRows
+        val nCols = { val b = in.read(); pos += 1; b }
+        var blobs = 0L
+        var c = 0
+        while (c < nCols) {
+          in.read(); pos += 1 // colType
+          blobs += i32()
+          if (version >= 2) { in.seek(pos + 17); pos += 17 } // hasZone + min + max
+          c += 1
+        }
+        in.seek(pos + blobs) // skip ALL column blobs
+        pos += blobs
+      }
+    } finally in.close()
+    row.update(0, total)
+    emitted = true
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
 }
 
 case class BtrInputPartition(file: String) extends InputPartition
@@ -137,12 +262,13 @@ case class BtrReaderFactory(
     confB: org.apache.spark.broadcast.Broadcast[ConfShim.SerConf],
     requiredIdx: Array[Int],
     colTypes: Array[Int],
-    zones: Array[ZoneRange])
+    zones: Array[ZoneRange],
+    limit: Int = -1)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new BtrPartitionReader(
       partition.asInstanceOf[BtrInputPartition].file, ConfShim.conf(confB),
-      requiredIdx, colTypes, zones)
+      requiredIdx, colTypes, zones, limit)
 }
 
 /** Streams one block file chunk-by-chunk (bounded memory — the reference's
@@ -155,8 +281,11 @@ class BtrPartitionReader(
     conf: org.apache.hadoop.conf.Configuration,
     requiredIdx: Array[Int],
     colTypes: Array[Int],
-    zones: Array[ZoneRange] = Array.empty)
+    zones: Array[ZoneRange] = Array.empty,
+    limit: Int = -1)
   extends PartitionReader[InternalRow] {
+
+  private var emittedRows = 0L
 
   private val path = new Path(file)
   private val fs = path.getFileSystem(conf)
@@ -255,9 +384,11 @@ class BtrPartitionReader(
   }
 
   override def next(): Boolean = {
+    if (limit >= 0 && emittedRows >= limit) return false // pushed (partial) limit
     while (rowIdx >= chunkRows || decoded == null) {
       if (!loadNextChunk()) return false
     }
+    emittedRows += 1
     var o = 0
     while (o < requiredIdx.length) {
       row.update(o, decoded(o) match {

@@ -106,6 +106,32 @@ class BtrSourceSpec extends AnyFunSuite {
     assert(read < 8192 && read >= 100, s"surviving rows bounded: $read")
   }
 
+  test("count(*) pushdown reads frame headers only; limit pushdown stops early") {
+    import spark.implicits._
+    val dir = tmp("countstar")
+    val df = (0 until 6000).map(i => (i, s"text payload $i" * 8)).toDF("id", "s")
+    BlockFiles.write(df, dir, BtrConfig(blockSize = 512))
+
+    val counted = spark.read.format("btr").load(dir)
+    val plan = counted.groupBy().count().queryExecution.executedPlan.toString
+    assert(plan.contains("BtrCountScan"), s"count(*) must use the headers-only scan:\n$plan")
+    assert(counted.count() == 6000)
+    // filtered count must NOT push (filters are evaluated post-scan)
+    val fplan = counted.where(col("id") > 10).groupBy().count()
+      .queryExecution.executedPlan.toString
+    assert(!fplan.contains("BtrCountScan"), s"filtered count must decode rows:\n$fplan")
+    assert(counted.where(col("id") > 10).count() == 5989)
+
+    val lim = spark.read.format("btr").load(dir).limit(7)
+    val lplan = lim.queryExecution.executedPlan.toString
+    assert(lplan.contains("limit=7"), s"pushed limit must reach the scan:\n$lplan")
+    assert(lim.collect().length == 7)
+
+    // manifest-backed statistics surface to Catalyst (drives join planning)
+    val stats = spark.read.format("btr").load(dir).queryExecution.optimizedPlan.stats
+    assert(stats.rowCount.contains(BigInt(6000)), s"rowCount from manifest: $stats")
+  }
+
   test("task-commit protocol: retried/speculative attempts leave one readable copy") {
     import graft.engine.BtrEncoder
     import org.apache.hadoop.fs.Path
