@@ -211,10 +211,14 @@ object Bench {
     // capability — while a single pair sample can land 20-30% apart and
     // flip the ratio either way. If a pair misses its target, re-fork the
     // levels involved (up to 3 extra passes) and keep per-level minima.
-    def effOf(sLow: Double, sHi: Double, f: Int) = (sLow / sHi) / f
+    // factor = actual core ratio of the pair (4 only when cpus >= 16 and
+    // divisible; hardcoding 4 would misreport efficiency on other hosts)
+    val fLowN = coresN.toDouble / coresLow
+    val fN4N = cpus.toDouble / coresN
+    def effOf(sLow: Double, sHi: Double, f: Double) = (sLow / sHi) / f
     var hedge = 0
     while (hedge < 3 &&
-      (effOf(secLow, secN, 4) < 0.84 || effOf(secLowMap, secNMap, 4) < 0.84)) {
+      (effOf(secLow, secN, fLowN) < 0.84 || effOf(secLowMap, secNMap, fLowN) < 0.84)) {
       val r1 = forkEncode(coresLow, inputDir, s"$base/low")
       secLow = math.min(secLow, r1._1); secLowMap = math.min(secLowMap, r1._4)
       secLowDec = math.min(secLowDec, r1._5)
@@ -223,7 +227,7 @@ object Bench {
       secNDec = math.min(secNDec, r2._5)
       hedge += 1
     }
-    if (effOf(secNMap, sec4NMap, 4) < 0.5) {
+    if (effOf(secNMap, sec4NMap, fN4N) < 0.5) {
       val r3 = forkEncode(cpus, inputDir, s"$base/4n")
       sec4N = math.min(sec4N, r3._1); sec4NMap = math.min(sec4NMap, r3._4)
       sec4NDec = math.min(sec4NDec, r3._5)
@@ -262,7 +266,7 @@ object Bench {
         f""""gbps_mapside_low":${gb / secLowMap}%.4f,"gbps_mapside_n":${gb / secNMap}%.4f,"gbps_mapside_4n":${gb / sec4NMap}%.4f,""" +
         f""""scaling_efficiency_mapside":$effMapLow%.3f,"scaling_efficiency_mapside_n_4n":$effMap%.3f,""" +
         f""""gbps_decode_low":${gb / secLowDec}%.4f,"gbps_decode_n":${gb / secNDec}%.4f,"gbps_decode_4n":${gb / sec4NDec}%.4f,""" +
-        f""""scaling_efficiency_decode":${effOf(secLowDec, secNDec, 4)}%.3f,""" +
+        f""""scaling_efficiency_decode":${effOf(secLowDec, secNDec, fLowN)}%.3f,""" +
         f""""compression_ratio":$ratio%.3f,""" +
         f""""input_gb":$gb%.3f,"sec_low":$secLow%.2f,"sec_n":$secN%.2f,"sec_4n":$sec4N%.2f,"rows":$benchRows}"""
     println(

@@ -546,19 +546,26 @@ object Queries {
         s"s AS (SELECT doc_id, $scoreCols FROM p0) " +
         s"SELECT doc_id, CASE WHEN $g = 0 THEN 'und' $cases END AS lang_pred FROM s"
     },
-    // exact char-5-gram jaccard over ALL pairs (planted + organic), size-
-    // prefiltered by the necessary condition min/max distinct-shingle-count
-    // >= 0.9; filter on the UNROUNDED jaccard like the Spark side
+    // operator contract: exact dups collapse to a min-id representative
+    // ((rep, member, 1.0) pairs emitted directly; member near-dup matches
+    // are implied via the representative), LSH + exact char-5-gram jaccard
+    // between representatives. Oracle mirrors exactly that: dup-group
+    // pairs UNION all-representative-pairs with jaccard >= 0.9 (unrounded,
+    // like the Spark filter), size-prefiltered by min/max shingle count.
     "dedup_minhash" ->
       ("WITH docs AS (SELECT doc_id, text FROM documents UNION ALL " +
         "SELECT doc_id + 1000000, text || ' near dup tail' FROM documents WHERE doc_id < 20), " +
-        "sh AS (SELECT doc_id, list_distinct([substr(text, i, 5) for i in range(1, length(text) - 3)]) AS s FROM docs), " +
+        "grp AS (SELECT doc_id, text, min(doc_id) OVER (PARTITION BY text) AS rep FROM docs), " +
+        "dup_pairs AS (SELECT rep AS id_a, doc_id AS id_b, 1.0 AS jaccard FROM grp WHERE doc_id <> rep), " +
+        "reps AS (SELECT doc_id, text FROM grp WHERE doc_id = rep), " +
+        "sh AS (SELECT doc_id, list_distinct([substr(text, i, 5) for i in range(1, length(text) - 3)]) AS s FROM reps), " +
         "sized AS (SELECT doc_id, s, len(s) AS n FROM sh), " +
         "cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb " +
         "FROM sized a JOIN sized b ON a.doc_id < b.doc_id AND least(a.n, b.n) >= 0.9 * greatest(a.n, b.n)), " +
         "j AS (SELECT id_a, id_b, CAST(len(list_intersect(sa, sb)) AS DOUBLE) / " +
         "(len(sa) + len(sb) - len(list_intersect(sa, sb))) AS jraw FROM cand) " +
-        "SELECT id_a, id_b, round(jraw, 4) AS jaccard FROM j WHERE jraw >= 0.9"),
+        "SELECT id_a, id_b, round(jraw, 4) AS jaccard FROM j WHERE jraw >= 0.9 " +
+        "UNION ALL SELECT id_a, id_b, jaccard FROM dup_pairs"),
     "dedup_simhash" ->
       ("SELECT CAST(doc_id AS BIGINT) AS id_a, CAST(doc_id + 1000000 AS BIGINT) AS id_b, " +
         "CAST(0 AS INT) AS hamming FROM documents WHERE doc_id < 20"),

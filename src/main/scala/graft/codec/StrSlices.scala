@@ -24,7 +24,6 @@ final class StrSlices(val data: Array[Byte], val offsets: Array[Int], val count:
     java.util.Arrays.copyOfRange(data, start(i), start(i) + len(i))
 }
 
-/** Growable builder for StrSlices. */
 /** Decoded string column as shared-arena views: value i is
   * data[starts(i), starts(i)+lens(i)). Unlike StrSlices, values may ALIAS
   * (OneValue repeats one region, Dict values point into the dict arena),
@@ -39,6 +38,7 @@ final class DecodedStrings(
     java.util.Arrays.copyOfRange(data, starts(i), starts(i) + lens(i))
 }
 
+/** Growable builder for StrSlices. */
 final class StrSlicesBuilder(initialBytes: Int = 1 << 16, initialCount: Int = 1024) {
   private var data = new Array[Byte](initialBytes)
   private var offsets = new Array[Int](initialCount + 1)

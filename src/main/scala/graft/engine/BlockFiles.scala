@@ -138,9 +138,26 @@ object BlockFiles {
         numRows += chunkParts.head.numRows
       }
       out.close()
-      // commit: first attempt to rename wins; a loser (a concurrent
-      // speculative attempt already committed) just discards its temp
-      committed = fs.rename(tmpPath, finalPath) || fs.exists(finalPath)
+      // Commit via rename-if-absent: FileContext's default rename FAILS when
+      // the destination exists, so the first attempt wins (atomic on
+      // HDFS-like stores, where plain FileSystem.rename-over-existing would
+      // let a later speculative attempt replace a committed file). Schemes
+      // without an AbstractFileSystem binding fall back to a checked rename;
+      // the residual race there is local-FS only, where rename is an atomic
+      // in-place replace of one complete valid encode by another and open
+      // readers keep their inode.
+      committed =
+        try {
+          val fc = org.apache.hadoop.fs.FileContext.getFileContext(finalPath.toUri, conf)
+          try { fc.rename(tmpPath, finalPath); true }
+          catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException => true // other attempt won
+          }
+        } catch {
+          case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+            if (fs.exists(finalPath)) true
+            else fs.rename(tmpPath, finalPath) || fs.exists(finalPath)
+        }
       if (!committed)
         sys.error(s"could not commit $tmpPath -> $finalPath")
     } finally {

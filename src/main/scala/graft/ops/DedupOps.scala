@@ -98,17 +98,28 @@ object DedupOps {
     *     self-join at O(maxBucket × buckets). One window over the banding
     *     shuffle, no extra pass.
     */
+  /** Returns (representatives with text, (rep, member) dup pairs).
+    * Deliberately hot-key-proof: the content-hash shuffles touch only the
+    * NARROW (id, hash) projection — 10⁶ identical docs funnel 16 MB of ids
+    * into one task, not 10⁶ full texts — and the text rows are fetched back
+    * by a semi-join on the UNIQUE id (uniform distribution, no hot task).
+    * Emitted pair set: (rep, member, sim=1) per dup member plus LSH pairs
+    * between representatives; pairs among two members of the same or
+    * related groups are implied via their representative, not re-emitted.
+    */
   private def collapseExact(df: DataFrame, idCol: String, textCol: String)
     : (DataFrame, DataFrame) = {
-    val w = Window.partitionBy(col("__h")).orderBy(col("id"))
-    val hashed = df
+    val withH = df
       .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .withColumn("__h", md5(col("text")))
-      .withColumn("__rep", first(col("id")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val reps = hashed.filter(col("id") === col("__rep")).select("id", "text")
-    val dupPairs = hashed.filter(col("id") =!= col("__rep"))
-      .select(col("__rep").as("id_a"), col("id").as("id_b"))
+    val slim = withH.select("id", "__h")
+    val repIds = slim.groupBy(col("__h")).agg(min(col("id")).as("rep"))
+    val dupPairs = slim.join(repIds, "__h")
+      .filter(col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"))
+    val reps = withH
+      .join(repIds.select(col("rep").as("id")), Seq("id"), "left_semi")
+      .select("id", "text")
     (reps, dupPairs)
   }
 

@@ -84,13 +84,33 @@ class BtrScanBuilder(dir: String, fullSchema: StructType)
     if (i >= 0 && fullSchema.fields(i).dataType == IntegerType) Some(i) else None
   }
 
+  // fractional comparands need ceil/floor, not longValue truncation:
+  // x > 3.5 over ints means x >= 4, x > -3.5 means x >= -3 (longValue-based
+  // lo = -3+1 would wrongly skip chunks containing -3)
+  private def isIntegral(v: Number): Boolean = v match {
+    case _: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer | _: java.lang.Long => true
+    case _ => false
+  }
+  private def lowAbove(v: Number): Long = // smallest int satisfying "x > v"
+    if (isIntegral(v)) v.longValue + 1 else math.ceil(v.doubleValue).toLong +
+      (if (v.doubleValue == math.floor(v.doubleValue)) 1L else 0L)
+  private def lowAtLeast(v: Number): Long = // smallest int satisfying "x >= v"
+    if (isIntegral(v)) v.longValue else math.ceil(v.doubleValue).toLong
+  private def highBelow(v: Number): Long = // largest int satisfying "x < v"
+    if (isIntegral(v)) v.longValue - 1 else math.floor(v.doubleValue).toLong -
+      (if (v.doubleValue == math.ceil(v.doubleValue)) 1L else 0L)
+  private def highAtMost(v: Number): Long = // largest int satisfying "x <= v"
+    if (isIntegral(v)) v.longValue else math.floor(v.doubleValue).toLong
+
   private def rangeOf(f: Filter): Option[ZoneRange] = f match {
-    case GreaterThan(a, v: Number)        => intCol(a).map(ZoneRange(_, v.longValue + 1, Long.MaxValue))
-    case GreaterThanOrEqual(a, v: Number) => intCol(a).map(ZoneRange(_, v.longValue, Long.MaxValue))
-    case LessThan(a, v: Number)           => intCol(a).map(ZoneRange(_, Long.MinValue, v.longValue - 1))
-    case LessThanOrEqual(a, v: Number)    => intCol(a).map(ZoneRange(_, Long.MinValue, v.longValue))
-    case EqualTo(a, v: Number)            => intCol(a).map(ZoneRange(_, v.longValue, v.longValue))
-    case _                                => None
+    case GreaterThan(a, v: Number)        => intCol(a).map(ZoneRange(_, lowAbove(v), Long.MaxValue))
+    case GreaterThanOrEqual(a, v: Number) => intCol(a).map(ZoneRange(_, lowAtLeast(v), Long.MaxValue))
+    case LessThan(a, v: Number)           => intCol(a).map(ZoneRange(_, Long.MinValue, highBelow(v)))
+    case LessThanOrEqual(a, v: Number)    => intCol(a).map(ZoneRange(_, Long.MinValue, highAtMost(v)))
+    case EqualTo(a, v: Number) =>
+      // non-integral equality can match no int row: empty range skips all
+      intCol(a).map(ZoneRange(_, lowAtLeast(v), highAtMost(v)))
+    case _ => None
   }
 
   /** Keep range filters on int columns for zone-map chunk skipping. The
@@ -226,6 +246,8 @@ class BtrCountReader(file: String, conf: org.apache.hadoop.conf.Configuration)
       val magic = (hdr(0) & 0xff) | ((hdr(1) & 0xff) << 8) | ((hdr(2) & 0xff) << 16) | ((hdr(3) & 0xff) << 24)
       require(magic == BlockFiles.Magic, s"not a btr block file: $file")
       val version = hdr(4) & 0xff
+      require(version == 1 || version == 2,
+        s"unsupported btr block version $version: $file") // a silent wrong COUNT would be the worst failure
       var pos = 5L
       val b4 = new Array[Byte](4)
       def i32(): Int = {

@@ -174,6 +174,32 @@ class BtrSourceSpec extends AnyFunSuite {
     assert(back.where("id = 999").head().getString(1) == "val_999")
   }
 
+  test("v1 block frames (no zone maps) stay readable") {
+    import org.apache.hadoop.fs.Path
+    val dir = tmp("v1compat")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(s"$dir/blocks").getFileSystem(conf)
+    fs.mkdirs(new Path(s"$dir/blocks"))
+    // hand-craft a v1 frame: magic + version=1, one chunk, one int column,
+    // NO per-column zone fields
+    val blob = graft.codec.IntCodec.encode(Array(7, 8, 9), BtrConfig.default)
+    val out = new java.io.ByteArrayOutputStream()
+    def i32(v: Int): Unit = (0 until 4).foreach(k => out.write((v >>> (8 * k)) & 0xff))
+    i32(BlockFiles.Magic); out.write(1) // version 1
+    i32(3); out.write(1) // numRows=3, nCols=1
+    out.write(graft.codec.ColType.Integer); i32(blob.length)
+    out.write(blob)
+    val os = fs.create(new Path(s"$dir/blocks/part-00000"), true)
+    os.write(out.toByteArray); os.close()
+    val m = graft.format.BtrManifest(
+      columns = Seq(graft.format.ColumnMeta("v", graft.codec.ColType.Integer)),
+      numPartitions = 1, blockSize = 65536, maxCascadeDepth = 3,
+      numRows = 3, rawBytes = 12, encBytes = blob.length, completedPartitions = Seq(0))
+    graft.engine.BtrTable.writeManifest(spark, dir, m)
+    val back = spark.read.format("btr").load(dir)
+    assert(back.collect().map(_.getInt(0)).sorted.toSeq == Seq(7, 8, 9))
+  }
+
   test("range-partitioned blocks write") {
     import spark.implicits._
     val dir = tmp("range")
