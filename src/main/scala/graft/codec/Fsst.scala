@@ -29,6 +29,26 @@ object Fsst {
     k
   }
 
+  /** Unrolled full-word pack (requires pos + 8 <= data.length) — the
+    * compress loop calls this once per input position, so the straight-line
+    * form (JIT-mergeable loads) beats the length-bounded loop measurably.
+    */
+  @inline def pack8(data: Array[Byte], pos: Int): Long =
+    (data(pos) & 0xffL) |
+      ((data(pos + 1) & 0xffL) << 8) |
+      ((data(pos + 2) & 0xffL) << 16) |
+      ((data(pos + 3) & 0xffL) << 24) |
+      ((data(pos + 4) & 0xffL) << 32) |
+      ((data(pos + 5) & 0xffL) << 40) |
+      ((data(pos + 6) & 0xffL) << 48) |
+      ((data(pos + 7) & 0xffL) << 56)
+
+  @inline def packAt(data: Array[Byte], pos: Int, len: Int): Long =
+    if (pos + 8 <= data.length) {
+      val full = pack8(data, pos)
+      if (len == 8) full else full & ((1L << (8 * len)) - 1)
+    } else pack(data, pos, len)
+
   def train(sample: Array[Byte]): FsstTable = {
     val s =
       if (sample.length <= MaxSampleBytes) sample
@@ -175,7 +195,7 @@ final class FsstTable(val symbols: Array[Array[Byte]]) {
   def findLongest(data: Array[Byte], pos: Int, end: Int): (Int, Int) = {
     val maxHere = math.min(firstByteMax(data(pos) & 0xff).toInt, end - pos)
     if (maxHere == 0) return (-1, 0)
-    val full = Fsst.pack(data, pos, maxHere)
+    val full = Fsst.packAt(data, pos, maxHere)
     var l = maxHere
     while (l >= 1) {
       val key = if (l == 8) full else full & ((1L << (8 * l)) - 1)
@@ -197,7 +217,7 @@ final class FsstTable(val symbols: Array[Array[Byte]]) {
       var code = -1
       var adv = 1
       if (maxHere > 0) {
-        val full = Fsst.pack(data, pos, maxHere)
+        val full = Fsst.packAt(data, pos, maxHere)
         // probe longest-first, but only lengths that exist for this byte
         var mask = lenMask(fb) & ((1 << maxHere) - 1)
         while (code < 0 && mask != 0) {
@@ -226,13 +246,17 @@ final class FsstTable(val symbols: Array[Array[Byte]]) {
     * length. Avoids the per-string BufWriter + result() copy of
     * `decompress` on the hot decode path.
     */
+  // symbols pre-packed as (word, len) for the branch-free decode store
+  private val symWord: Array[Long] = symbols.map(s => Fsst.pack(s, 0, s.length))
+  private val symLen: Array[Int] = symbols.map(_.length)
+
   def decompressInto(in: BufReader, clen: Int, out: BufWriter): Int = {
     val start = out.size
     val end = in.pos + clen
     while (in.pos < end) {
       val c = in.u8()
       if (c == Fsst.EscapeCode) out.u8(in.u8())
-      else out.bytes(symbols(c))
+      else out.word(symWord(c), symLen(c)) // full-word store, advance by len
     }
     out.size - start
   }
