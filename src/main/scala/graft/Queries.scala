@@ -591,8 +591,10 @@ object Queries {
         "list_sum([CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE) for i in range(1, len(qv) + 1)]) AS na, " +
         "list_sum([CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) for i in range(1, len(cv) + 1)]) AS nb " +
         "FROM q CROSS JOIN c), " +
+        // floor(x*1e4+0.5)/1e4 = SimilarityOps.round4 — identical IEEE ops,
+        // and ranking happens on this rounded value on both sides
         "sims AS (SELECT query_id, corpus_id, " +
-        "round(CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / sqrt(na * nb) END, 4) AS cosine FROM pairs), " +
+        "floor((CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / sqrt(na * nb) END) * 10000 + 0.5) / 10000 AS cosine FROM pairs), " +
         "ranked AS (SELECT query_id, corpus_id, cosine, " +
         "CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS INT) AS rank FROM sims) " +
         "SELECT CAST(query_id AS BIGINT) AS query_id, CAST(corpus_id AS BIGINT) AS corpus_id, cosine, rank " +

@@ -15,6 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
+  /** 4-decimal rounding shared by ranking, heap eviction, and the DuckDB
+    * oracle (floor(x*1e4+0.5)/1e4 — identical IEEE ops on both engines).
+    * Ranking must happen on the ROUNDED value: two cosines differing only
+    * in the 5th decimal are a tie that the id tie-break must decide the
+    * same way everywhere, else top-k membership flips between engines.
+    */
+  @inline def round4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+
   def cosine(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
@@ -52,17 +60,26 @@ object SimilarityOps {
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val queries = qsB.value
-        // per-query bounded min-heap of (cosine, corpusId)
+        // per-query bounded min-heap over the ROUNDED cosine with the final
+        // (cosine desc, corpus_id asc) order — head = worst = (lowest
+        // cosine, highest id), so rounded ties evict exactly the row the
+        // global ranking would drop
         val heaps = Array.fill(queries.length)(
           new java.util.PriorityQueue[(Double, Long)](
-            k, (x: (Double, Long), y: (Double, Long)) => java.lang.Double.compare(x._1, y._1)))
+            k, (x: (Double, Long), y: (Double, Long)) => {
+              val c = java.lang.Double.compare(x._1, y._1)
+              if (c != 0) c else java.lang.Long.compare(y._2, x._2)
+            }))
         it.foreach { case (cid, cvec) =>
           var q = 0
           while (q < queries.length) {
-            val c = cosine(queries(q)._2, cvec)
+            val c = round4(cosine(queries(q)._2, cvec))
             val h = heaps(q)
             if (h.size < k) h.add((c, cid))
-            else if (c > h.peek()._1) { h.poll(); h.add((c, cid)) }
+            else {
+              val worst = h.peek()
+              if (c > worst._1 || (c == worst._1 && cid < worst._2)) { h.poll(); h.add((c, cid)) }
+            }
             q += 1
           }
         }
@@ -75,15 +92,15 @@ object SimilarityOps {
       }
       .toDF("query_id", "corpus_id", "cosine")
 
-    // merge per-partition partials to the global top-k per query
+    // merge per-partition partials to the global top-k per query (cosine
+    // already rounded — the window order matches the heap order)
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id").asc)
     partials
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("corpus_id"),
-        round(col("cosine"), 4).as("cosine"), col("rank"))
+      .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank"))
   }
 
   /** IVF (inverted-file) ANN: k-means centroids trained on a deterministic
@@ -148,7 +165,7 @@ object SimilarityOps {
     val cand = qProbes.join(bucketed, "bucket")
       .select(col("query_id"), col("qvec"), col("corpus_id"), col("cvec"))
       .as[(Long, Array[Float], Long, Array[Float])]
-      .map { case (qid, qv, cid, cv) => (qid, cid, cosine(qv, cv)) }
+      .map { case (qid, qv, cid, cv) => (qid, cid, round4(cosine(qv, cv))) }
       .toDF("query_id", "corpus_id", "cosine")
 
     import org.apache.spark.sql.expressions.Window
@@ -156,8 +173,7 @@ object SimilarityOps {
       .orderBy(col("cosine").desc, col("corpus_id").asc)
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("corpus_id"),
-        round(col("cosine"), 4).as("cosine"), col("rank"))
+      .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank"))
   }
 
   private def nearest(centroids: Array[Array[Double]], v: Array[Float]): Int = {
@@ -233,7 +249,7 @@ object SimilarityOps {
 
     val cand = qProbes.join(bucketed, "sig")
       .as[(Int, Long, Array[Float], Long, Array[Float])]
-      .map { case (_, qid, qv, cid, cv) => (qid, cid, cosine(qv, cv)) }
+      .map { case (_, qid, qv, cid, cv) => (qid, cid, round4(cosine(qv, cv))) }
       .toDF("query_id", "corpus_id", "cosine")
       .dropDuplicates("query_id", "corpus_id")
 
@@ -242,7 +258,6 @@ object SimilarityOps {
       .orderBy(col("cosine").desc, col("corpus_id").asc)
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("corpus_id"),
-        round(col("cosine"), 4).as("cosine"), col("rank"))
+      .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank"))
   }
 }
