@@ -15,21 +15,27 @@ import org.apache.spark.sql.SparkSession
   * measurement badly (observed 8x), and separate JVMs also mirror separate
   * cluster drivers.
   *
-  * Round-2 methodology fixes (profiled, see BENCH.md):
+  * Methodology (profiled; history in BENCH.md):
+  *  - the range pipeline shuffles COMPRESSED frames, not raw rows: chunks
+  *    are encoded map-side (after a local sort for key coherence) and the
+  *    range exchange moves ~ratio× fewer bytes — both faster and far less
+  *    exposed to the shared-disk/bandwidth noise of this sandbox;
   *  - parts are written via the raw block-file format (BlockFiles): the
   *    parquet parts-writer + manifest re-scan added a ~10% serial fraction
   *    that alone capped 2->8 efficiency at ~0.76 (Amdahl);
   *  - shuffle/spill dirs go to tmpfs: on this sandbox /tmp is one shared
-  *    virtio disk, which a 3.26 GB string shuffle saturates at >=8 cores —
-  *    a real cluster has per-executor local disks, so a shared-disk
-  *    bottleneck would misrepresent multi-executor scaling;
+  *    virtio disk, which a multi-GB shuffle saturates at >=8 cores — a real
+  *    cluster has per-executor local disks, so a shared-disk bottleneck
+  *    would misrepresent multi-executor scaling;
   *  - scan parallelism is pinned (maxPartitionBytes=16m -> 96 map tasks at
   *    every level): the default coalesced the 64 input files to exactly
   *    `defaultParallelism` splits, leaving zero straggler headroom;
-  *  - per-level best-of-3 in one JVM after a warmup, plus a second forked
-  *    pass for any level whose pair misses its target (co-tenant noise on
-  *    this host reaches 2-3x; taking the min over more samples converges on
-  *    the machine's true capability).
+  *  - noise handling: a FIXED number of passes (default 3), each pass
+  *    forking all three levels back-to-back, taking per-level MINIMA across
+  *    passes — unconditional by design (no run-until-pass stopping rule;
+  *    co-tenant noise on this host is strictly additive, so the minimum is
+  *    a consistent estimator of the machine's true capability, and
+  *    back-to-back levels see maximally-correlated weather).
   *
   * Prints ONE JSON line: {"metric":"total","value":<query sec>,"unit":"sec",
   * "queries":{...},"sf":...,"encode":{gbps_n,gbps_4n,scaling_efficiency,...}}
@@ -53,7 +59,7 @@ object Bench {
   }
 
   /** Child-JVM mode: one measured encode at the given parallelism.
-    * Prints "BENCH_ENCODE <rangeSec> <rawBytes> <encBytes> <mapsideSec>".
+    * Prints "BENCH_ENCODE <rangeSec> <rawBytes> <encBytes> <mapsideSec> <decodeSec>".
     */
   private def encodeChild(cores: Int, inputDir: String, outDir: String): Unit = {
     // FIXED task layout across parallelism levels: 64 shuffle partitions and
@@ -84,17 +90,19 @@ object Bench {
       .map(_.getPath.toString).filter(_.endsWith(".parquet")).sorted
     val warmFiles = allFiles.take(math.max(4, allFiles.length / 8))
     BlockFiles.write(spark.read.parquet(warmFiles: _*), s"$outDir/warm",
-      BtrConfig.default, rangeCols = Seq("repo", "path"))
+      BtrConfig.default, rangeCols = Seq("repo", "path"), compressedExchange = true)
     rmOut("warm")
-    val reps = 3 // sandbox co-tenant noise reaches 2-3x; take best
-    // mode 1: full pipeline with the explicit repartitionByRange exchange
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // mode 1: full pipeline with the explicit range exchange — map-side
+    // encode, shuffle of COMPRESSED frames keyed on (repo, path)
     var best = Double.MaxValue
     var raw = 0L
     var enc = 0L
     for (i <- 0 until reps) {
       val df = spark.read.parquet(inputDir)
       val t0 = System.nanoTime()
-      val m = BlockFiles.write(df, s"$outDir/run$i", BtrConfig.default, rangeCols = Seq("repo", "path"))
+      val m = BlockFiles.write(df, s"$outDir/run$i", BtrConfig.default,
+        rangeCols = Seq("repo", "path"), compressedExchange = true)
       val sec = (System.nanoTime() - t0) / 1e9
       if (sec < best) { best = sec; raw = m.rawBytes; enc = m.encBytes }
       rmOut(s"run$i")
@@ -168,6 +176,20 @@ object Bench {
     (parts(1).toDouble, parts(2).toLong, parts(3).toLong, parts(4).toDouble, parts(5).toDouble)
   }
 
+  /** Per-level minima across passes: range/mapside/decode seconds. */
+  private final class Level(val cores: Int, val tag: String) {
+    var range = Double.MaxValue
+    var mapside = Double.MaxValue
+    var decode = Double.MaxValue
+    var raw = 0L
+    var enc = 0L
+    def fold(r: (Double, Long, Long, Double, Double)): Unit = {
+      if (r._1 < range) { range = r._1; raw = r._2; enc = r._3 }
+      mapside = math.min(mapside, r._4)
+      decode = math.min(decode, r._5)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.length >= 4 && args(0) == "encode") {
       encodeChild(args(1).toInt, args(2), args(3))
@@ -178,6 +200,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val coresN = math.max(1, cpus / 4)
     val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "4000000").toLong
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val inputDir = "file:/root/repo/target/tmp/bench_input"
     val base = s"file:$tmpfs/graft_bench_btr"
 
@@ -196,52 +219,35 @@ object Bench {
     }
 
     // phase 1: encode at three parallelism levels, each in a fresh JVM.
-    // Primary N->4N pair is (4N/16, 4N/4) = (2, 8) cores: both sit below this
-    // single host's memory-bandwidth wall, so it is the honest proxy for
-    // adding executors (which bring their own memory buses). The (8, 4N)
-    // pair is reported too: it is bandwidth-confounded on one box.
+    // Primary N->4N pair is (4N/16, 4N/4) = (2, 8) cores: both sit below
+    // this single host's memory-bandwidth wall, so it is the honest proxy
+    // for adding executors (which bring their own memory buses). The
+    // (8, 4N) pair is reported too: it is bandwidth-confounded on one box.
+    // A FIXED number of passes runs the levels back-to-back (so one pass
+    // shares its weather across levels) and per-level minima are taken
+    // unconditionally — never rerun-until-pass.
     val coresLow = math.max(1, cpus / 16)
-    var (secLow, _, _, secLowMap, secLowDec) = forkEncode(coresLow, inputDir, s"$base/low")
-    var (secN, rawBytes, encBytes, secNMap, secNDec) = forkEncode(coresN, inputDir, s"$base/n")
-    var (sec4N, _, _, sec4NMap, sec4NDec) = forkEncode(cpus, inputDir, s"$base/4n")
+    val low = new Level(coresLow, "low")
+    val n = new Level(coresN, "n")
+    val hi = new Level(cpus, "4n")
+    for (_ <- 0 until passes) {
+      low.fold(forkEncode(low.cores, inputDir, s"$base/low"))
+      n.fold(forkEncode(n.cores, inputDir, s"$base/n"))
+      hi.fold(forkEncode(hi.cores, inputDir, s"$base/4n"))
+    }
 
-    // Noise hedge: co-tenant bursts here last minutes and are strictly
-    // ADDITIVE (they only ever slow a run), so the minimum over repeated
-    // identical runs is a consistent estimator of the machine's true
-    // capability — while a single pair sample can land 20-30% apart and
-    // flip the ratio either way. If a pair misses its target, re-fork the
-    // levels involved (up to 3 extra passes) and keep per-level minima.
-    // factor = actual core ratio of the pair (4 only when cpus >= 16 and
-    // divisible; hardcoding 4 would misreport efficiency on other hosts)
+    val gb = n.raw / 1e9
+    val gbpsLow = gb / low.range
+    val gbpsN = gb / n.range
+    val gbps4N = gb / hi.range
     val fLowN = coresN.toDouble / coresLow
     val fN4N = cpus.toDouble / coresN
     def effOf(sLow: Double, sHi: Double, f: Double) = (sLow / sHi) / f
-    var hedge = 0
-    while (hedge < 3 &&
-      (effOf(secLow, secN, fLowN) < 0.84 || effOf(secLowMap, secNMap, fLowN) < 0.84)) {
-      val r1 = forkEncode(coresLow, inputDir, s"$base/low")
-      secLow = math.min(secLow, r1._1); secLowMap = math.min(secLowMap, r1._4)
-      secLowDec = math.min(secLowDec, r1._5)
-      val r2 = forkEncode(coresN, inputDir, s"$base/n")
-      secN = math.min(secN, r2._1); secNMap = math.min(secNMap, r2._4)
-      secNDec = math.min(secNDec, r2._5)
-      hedge += 1
-    }
-    if (effOf(secNMap, sec4NMap, fN4N) < 0.5) {
-      val r3 = forkEncode(cpus, inputDir, s"$base/4n")
-      sec4N = math.min(sec4N, r3._1); sec4NMap = math.min(sec4NMap, r3._4)
-      sec4NDec = math.min(sec4NDec, r3._5)
-    }
-
-    val gb = rawBytes / 1e9
-    val gbpsLow = gb / secLow
-    val gbpsN = gb / secN
-    val gbps4N = gb / sec4N
-    val effLow = (gbpsN / gbpsLow) / (coresN.toDouble / coresLow)
-    val eff = (gbps4N / gbpsN) / (cpus.toDouble / coresN)
-    val effMapLow = (secLowMap / secNMap) / (coresN.toDouble / coresLow)
-    val effMap = (secNMap / sec4NMap) / (cpus.toDouble / coresN)
-    val ratio = rawBytes.toDouble / encBytes
+    val effLow = effOf(low.range, n.range, fLowN)
+    val eff = effOf(n.range, hi.range, fN4N)
+    val effMapLow = effOf(low.mapside, n.mapside, fLowN)
+    val effMap = effOf(n.mapside, hi.mapside, fN4N)
+    val ratio = n.raw.toDouble / n.enc
 
     // phase 2: per-query timings at 4N cores (fresh context in this JVM).
     // A query that throws is recorded in "failed" — not silently timed.
@@ -261,14 +267,15 @@ object Bench {
     val enc =
       f"""{"cores_n":$coresN,"gbps_n":$gbpsN%.4f,"cores_4n":$cpus,"gbps_4n":$gbps4N%.4f,""" +
         f""""cores_low":$coresLow,"gbps_low":$gbpsLow%.4f,""" +
-        f""""scaling_efficiency":$effLow%.3f,"scaling_basis":"${coresLow}->${coresN} cores, range-exchange pipeline (raw block-file parts, tmpfs spill); see BENCH.md",""" +
+        f""""scaling_efficiency":$effLow%.3f,"scaling_basis":"${coresLow}->${coresN} cores, range pipeline (map-side encode + compressed-frame range exchange, tmpfs spill, $passes unconditional passes, per-level minima); see BENCH.md",""" +
         f""""scaling_efficiency_n_4n":$eff%.3f,""" +
-        f""""gbps_mapside_low":${gb / secLowMap}%.4f,"gbps_mapside_n":${gb / secNMap}%.4f,"gbps_mapside_4n":${gb / sec4NMap}%.4f,""" +
+        f""""gbps_mapside_low":${gb / low.mapside}%.4f,"gbps_mapside_n":${gb / n.mapside}%.4f,"gbps_mapside_4n":${gb / hi.mapside}%.4f,""" +
         f""""scaling_efficiency_mapside":$effMapLow%.3f,"scaling_efficiency_mapside_n_4n":$effMap%.3f,""" +
-        f""""gbps_decode_low":${gb / secLowDec}%.4f,"gbps_decode_n":${gb / secNDec}%.4f,"gbps_decode_4n":${gb / sec4NDec}%.4f,""" +
-        f""""scaling_efficiency_decode":${effOf(secLowDec, secNDec, fLowN)}%.3f,""" +
+        f""""gbps_decode_low":${gb / low.decode}%.4f,"gbps_decode_n":${gb / n.decode}%.4f,"gbps_decode_4n":${gb / hi.decode}%.4f,""" +
+        f""""scaling_efficiency_decode":${effOf(low.decode, n.decode, fLowN)}%.3f,""" +
+        f""""scaling_efficiency_decode_n_4n":${effOf(n.decode, hi.decode, fN4N)}%.3f,""" +
         f""""compression_ratio":$ratio%.3f,""" +
-        f""""input_gb":$gb%.3f,"sec_low":$secLow%.2f,"sec_n":$secN%.2f,"sec_4n":$sec4N%.2f,"rows":$benchRows}"""
+        f""""input_gb":$gb%.3f,"sec_low":${low.range}%.2f,"sec_n":${n.range}%.2f,"sec_4n":${hi.range}%.2f,"rows":$benchRows,"passes":$passes}"""
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","encode":$enc}""")
   }

@@ -1,12 +1,13 @@
 package graft.engine
 
 import graft.codec.BtrConfig
-import graft.format.{BtrManifest, ColumnMeta}
+import graft.format.{BtrManifest, ColumnMeta, CompressedPart}
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.graftshim.ConfShim
 import org.apache.hadoop.fs.Path
+import java.nio.charset.StandardCharsets.UTF_8
 
 /** Raw binary block files — the Spark analog of the reference's on-disk
   * blob layout (`column{i}_part{j}` + `metadata`,
@@ -15,38 +16,126 @@ import org.apache.hadoop.fs.Path
   * with per-column byte lengths so a reader can skip (prune) columns
   * without decoding them. Schema/stats live in the same JSON manifest.
   *
-  * Frame layout per chunk (v2):
+  * Frame layout per chunk (v3):
   *   [i32 numRows][u8 nCols]
-  *   [per col: u8 colType, i32 blobLen, u8 hasZone, i64 minLong, i64 maxLong]
+  *   [per col: u8 colType, i32 blobLen, u8 zoneKind, zone payload]
   *   [col blobs…]
-  * The per-column zone map (int columns only; hasZone=0 otherwise) lets a
-  * reader skip whole chunks against pushed range filters without touching
-  * their blobs — data skipping the reference's scan lacks entirely
-  * (/root/reference/src/datafusion.rs:64-73). v1 frames (no zone fields)
-  * remain readable.
+  * zoneKind: 0 = none; 1 = long [i64 min][i64 max]; 2 = double
+  * [f64bits min][f64bits max]; 3 = string [u8 len][bytes][u8 len][bytes]
+  * (UTF-8, each ≤ 64 bytes — longer extrema are dropped, not truncated).
+  * The per-column zone maps let a reader skip whole chunks against pushed
+  * range filters without touching their blobs — data skipping the
+  * reference's scan lacks entirely (/root/reference/src/datafusion.rs:64-73).
+  * v1 (no zones) and v2 (int-only zones) frames remain readable.
   * File header: "BTRS" magic + u8 version.
   */
 object BlockFiles {
   final val Magic = 0x53525442 // "BTRS" little-endian
-  final val Version = 2
+  final val Version = 3
 
-  /** Encode `df` and write raw block files + manifest to `dir`. */
+  /** One encoded chunk as a self-contained frame plus its stats — the unit
+    * that the compressed range exchange shuffles (a frame is ~ratio×
+    * smaller than the rows it encodes).
+    */
+  final case class Frame(bytes: Array[Byte], rawBytes: Long, encBytes: Long, numRows: Int)
+
+  /** Serialize one chunk's column parts into a v3 frame. */
+  def frameChunk(chunkParts: Seq[CompressedPart]): Frame = {
+    var rawBytes = 0L
+    var encBytes = 0L
+    var size = 4 + 1
+    val zones = new Array[Array[Byte]](chunkParts.length)
+    var i = 0
+    chunkParts.foreach { p =>
+      zones(i) = zonePayload(p) // includes its leading zoneKind byte
+      size += 1 + 4 + zones(i).length + p.bytes.length
+      rawBytes += p.rawBytes
+      encBytes += p.bytes.length
+      i += 1
+    }
+    val out = new Array[Byte](size)
+    var o = 0
+    def u8(v: Int): Unit = { out(o) = v.toByte; o += 1 }
+    def i32(v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >>> 8).toByte
+      out(o + 2) = (v >>> 16).toByte; out(o + 3) = (v >>> 24).toByte
+      o += 4
+    }
+    i32(chunkParts.head.numRows)
+    u8(chunkParts.length)
+    i = 0
+    chunkParts.foreach { p =>
+      u8(p.colType)
+      i32(p.bytes.length)
+      val z = zones(i)
+      System.arraycopy(z, 0, out, o, z.length)
+      o += z.length
+      i += 1
+    }
+    chunkParts.foreach { p =>
+      System.arraycopy(p.bytes, 0, out, o, p.bytes.length)
+      o += p.bytes.length
+    }
+    require(o == size, s"frame size mismatch: wrote $o of $size")
+    Frame(out, rawBytes, encBytes, chunkParts.head.numRows)
+  }
+
+  /** [u8 zoneKind][payload] for one part (see frame doc above). */
+  private def zonePayload(p: CompressedPart): Array[Byte] = {
+    def longs(kind: Int, mn: Long, mx: Long): Array[Byte] = {
+      val b = new Array[Byte](17)
+      b(0) = kind.toByte
+      var v = mn
+      var o = 1
+      var k = 0
+      while (k < 8) { b(o) = v.toByte; v >>>= 8; o += 1; k += 1 }
+      v = mx
+      k = 0
+      while (k < 8) { b(o) = v.toByte; v >>>= 8; o += 1; k += 1 }
+      b
+    }
+    (p.minLong, p.maxLong, p.minDouble, p.maxDouble, p.minStr, p.maxStr) match {
+      case (Some(mn), Some(mx), _, _, _, _) => longs(1, mn, mx)
+      case (_, _, Some(mn), Some(mx), _, _) =>
+        longs(2, java.lang.Double.doubleToLongBits(mn), java.lang.Double.doubleToLongBits(mx))
+      case (_, _, _, _, Some(mn), Some(mx)) =>
+        val bn = mn.getBytes(UTF_8)
+        val bx = mx.getBytes(UTF_8)
+        if (bn.length > 64 || bx.length > 64) Array[Byte](0)
+        else {
+          val b = new Array[Byte](3 + bn.length + bx.length)
+          b(0) = 3
+          b(1) = bn.length.toByte
+          System.arraycopy(bn, 0, b, 2, bn.length)
+          b(2 + bn.length) = bx.length.toByte
+          System.arraycopy(bx, 0, b, 3 + bn.length, bx.length)
+          b
+        }
+      case _ => Array[Byte](0)
+    }
+  }
+
+  /** Encode `df` and write raw block files + manifest to `dir`.
+    *
+    * `rangeCols` adds an explicit range exchange for locality. Two shapes:
+    *  - `compressedExchange = false`: shuffle the RAW rows
+    *    (repartitionByRange with a row-varying salt), then encode. Rows of
+    *    one key range land in one chunk → tightest zone maps, best ratio.
+    *  - `compressedExchange = true`: sort rows WITHIN each input partition,
+    *    encode chunks map-side, then range-exchange the COMPRESSED frames
+    *    on each chunk's first-row key. At ratio ~4× the shuffle moves ~4×
+    *    fewer bytes — the bulk-ingest shape for a 100 TB run, where the
+    *    exchange of raw strings (not the encode CPU) is the scaling
+    *    bottleneck. Clustering is chunk-granular instead of row-granular.
+    */
   def write(
       df: DataFrame,
       dir: String,
       cfg: BtrConfig = BtrConfig.default,
-      rangeCols: Seq[String] = Nil): BtrManifest = {
+      rangeCols: Seq[String] = Nil,
+      compressedExchange: Boolean = false): BtrManifest = {
     val spark = df.sparkSession
-    val n = spark.sessionState.conf.numShufflePartitions
-    val prepared =
-      if (rangeCols.isEmpty) df
-      else {
-        // row-varying salt (hash of ALL columns): a hot (repo, path) key's
-        // rows spread across partitions instead of serializing one task
-        val salted = df.withColumn("__salt", pmod(hash(df.columns.map(col): _*), lit(16)))
-        salted.repartitionByRange(n, (rangeCols.map(col) :+ col("__salt")): _*).drop("__salt")
-      }
-    val schema = prepared.schema
+    val schema = df.schema
     require(schema.length <= 255,
       s"btr block frame stores the column count in one byte — ${schema.length} columns > 255")
     val colTypes = BtrEncoder.validateSchema(schema)
@@ -58,21 +147,31 @@ object BlockFiles {
     if (fs0.exists(p)) fs0.delete(p, true)
     fs0.mkdirs(p)
 
-    // Per task: stream chunks through the encoder into one blob file, with
-    // a task-commit protocol: write to an attempt-unique temp name, rename
-    // to the final path on success (Hadoop FS rename is atomic per file).
-    // A retried/speculative attempt never rewrites a committed file a
-    // reader may already hold, and a failed attempt leaves only a dot-file
-    // that readers (which list `part-*`) ignore.
-    val stats = prepared.queryExecution.toRdd.mapPartitions { rows =>
-      if (rows.isEmpty) Iterator.empty
+    val n = spark.sessionState.conf.numShufflePartitions
+    val stats: Array[(Long, Long, Long)] =
+      if (rangeCols.nonEmpty && compressedExchange)
+        writeCompressedExchange(df, blocksDir, cfg, rangeCols, n, confB)
       else {
-        val tc = TaskContext.get()
-        Iterator.single(writeOneBlockFile(
-          ConfShim.conf(confB), blocksDir, tc.partitionId(), tc.taskAttemptId(),
-          rows, schema, colTypes, cfg))
+        val prepared =
+          if (rangeCols.isEmpty) df
+          else {
+            // row-varying salt (hash of ALL columns): a hot (repo, path)
+            // key's rows spread across partitions instead of serializing
+            // one task
+            val salted = df.withColumn("__salt", pmod(hash(df.columns.map(col): _*), lit(16)))
+            salted.repartitionByRange(n, (rangeCols.map(col) :+ col("__salt")): _*).drop("__salt")
+          }
+        prepared.queryExecution.toRdd.mapPartitions { rows =>
+          if (rows.isEmpty) Iterator.empty
+          else {
+            val tc = TaskContext.get()
+            val frames = new BtrEncoder.PartitionEncodeIterator(rows, schema, colTypes, cfg)
+              .grouped(schema.length).map(frameChunk)
+            Iterator.single(writeFrames(
+              ConfShim.conf(confB), blocksDir, tc.partitionId(), tc.taskAttemptId(), frames))
+          }
+        }.collect()
       }
-    }.collect()
 
     val m = BtrManifest(
       columns = schema.fields.zip(colTypes).map { case (f, t) => ColumnMeta(f.name, t) }.toSeq,
@@ -87,10 +186,67 @@ object BlockFiles {
     m
   }
 
-  /** One task attempt's block-file write (factored out so the retry
-    * semantics are unit-testable without Spark's retry machinery).
-    * Returns (rawBytes, encBytes, numRows) of the bytes THIS attempt
-    * encoded; the committed file is whichever attempt renamed first.
+  /** Map-side encode + compressed range exchange (see write() doc).
+    *
+    * Each chunk travels as ONE frame row keyed by an order-preserving
+    * binary encoding of its first row's `rangeCols` values; the exchange is
+    * repartitionByRange on that key plus a per-chunk round-robin salt (a
+    * hot key's chunks spread over 16 writers instead of serializing one).
+    * The writer task just concatenates the frames it receives — no
+    * re-encode, so the reduce side is pure sequential IO.
+    */
+  private def writeCompressedExchange(
+      df: DataFrame,
+      blocksDir: String,
+      cfg: BtrConfig,
+      rangeCols: Seq[String],
+      n: Int,
+      confB: org.apache.spark.broadcast.Broadcast[ConfShim.SerConf]): Array[(Long, Long, Long)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // local sort: clusters each input split's rows by key before chunking,
+    // so map-side chunks are key-coherent (ratio and zone quality close to
+    // the row exchange) without shuffling a single raw byte
+    val prepared = df.sortWithinPartitions(rangeCols.map(col): _*)
+    val schema = prepared.schema
+    val colTypes = BtrEncoder.validateSchema(schema)
+    val keyIdx = rangeCols.map { c =>
+      val i = schema.fieldNames.indexOf(c)
+      require(i >= 0, s"range column '$c' not in schema")
+      i
+    }.toArray
+    val framesRdd = prepared.queryExecution.toRdd.mapPartitions { rows =>
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val enc = new BtrEncoder.PartitionEncodeIterator(
+          rows, schema, colTypes, cfg, keyIdx)
+        enc.grouped(schema.length).zipWithIndex.map { case (chunkParts, ci) =>
+          val f = frameChunk(chunkParts)
+          // key captured from the chunk's FIRST row before its buffers were
+          // reused (PartitionEncodeIterator.lastChunkKey)
+          (enc.chunkKey(ci), ci % 16, f.bytes, f.rawBytes, f.encBytes, f.numRows)
+        }
+      }
+    }
+    val frames = spark.createDataset(framesRdd)
+      .toDF("k", "salt", "frame", "raw", "enc", "rows")
+      .repartitionByRange(n, col("k"), col("salt"))
+    frames.queryExecution.toRdd.mapPartitions { it =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val tc = TaskContext.get()
+        // row layout fixed by the select above: 2=frame 3=raw 4=enc 5=rows
+        val fs = it.map { r =>
+          Frame(r.getBinary(2), r.getLong(3), r.getLong(4), r.getInt(5).toInt)
+        }
+        Iterator.single(writeFrames(
+          ConfShim.conf(confB), blocksDir, tc.partitionId(), tc.taskAttemptId(), fs))
+      }
+    }.collect()
+  }
+
+  /** Encode one partition's rows and write them as one block file (the raw
+    * write path, also the unit-test entry for the task-commit semantics).
     */
   def writeOneBlockFile(
       conf: org.apache.hadoop.conf.Configuration,
@@ -101,6 +257,22 @@ object BlockFiles {
       schema: org.apache.spark.sql.types.StructType,
       colTypes: Array[Int],
       cfg: BtrConfig): (Long, Long, Long) = {
+    val frames = new BtrEncoder.PartitionEncodeIterator(rows, schema, colTypes, cfg)
+      .grouped(schema.length).map(frameChunk)
+    writeFrames(conf, blocksDir, pid, attemptId, frames)
+  }
+
+  /** One task attempt's block-file write (factored out so the retry
+    * semantics are unit-testable without Spark's retry machinery).
+    * Returns (rawBytes, encBytes, numRows) of the bytes THIS attempt
+    * encoded; the committed file is whichever attempt renamed first.
+    */
+  def writeFrames(
+      conf: org.apache.hadoop.conf.Configuration,
+      blocksDir: String,
+      pid: Int,
+      attemptId: Long,
+      frames: Iterator[Frame]): (Long, Long, Long) = {
     val fs = new Path(blocksDir).getFileSystem(conf)
     val finalPath = new Path(blocksDir, f"part-$pid%05d")
     val tmpPath = new Path(blocksDir, f".tmp-part-$pid%05d-attempt-$attemptId")
@@ -110,32 +282,15 @@ object BlockFiles {
     var numRows = 0L
     var committed = false
     try {
-      val le = new java.io.DataOutputStream(out)
-      def i32(v: Int): Unit = {
-        le.write(v & 0xff); le.write((v >>> 8) & 0xff)
-        le.write((v >>> 16) & 0xff); le.write((v >>> 24) & 0xff)
-      }
-      i32(Magic); le.write(Version)
-      def i64(v: Long): Unit = { i32((v & 0xffffffffL).toInt); i32((v >>> 32).toInt) }
-      val it = new BtrEncoder.PartitionEncodeIterator(rows, schema, colTypes, cfg)
-      val grouped = it.grouped(schema.length)
-      grouped.foreach { chunkParts =>
-        i32(chunkParts.head.numRows)
-        le.write(chunkParts.length)
-        chunkParts.foreach { part =>
-          le.write(part.colType)
-          i32(part.bytes.length)
-          (part.minLong, part.maxLong) match {
-            case (Some(mn), Some(mx)) => le.write(1); i64(mn); i64(mx)
-            case _                    => le.write(0); i64(0L); i64(0L)
-          }
-        }
-        chunkParts.foreach { part =>
-          le.write(part.bytes)
-          rawBytes += part.rawBytes
-          encBytes += part.bytes.length
-        }
-        numRows += chunkParts.head.numRows
+      out.write(Array[Byte](
+        (Magic & 0xff).toByte, ((Magic >>> 8) & 0xff).toByte,
+        ((Magic >>> 16) & 0xff).toByte, ((Magic >>> 24) & 0xff).toByte,
+        Version.toByte))
+      frames.foreach { f =>
+        out.write(f.bytes)
+        rawBytes += f.rawBytes
+        encBytes += f.encBytes
+        numRows += f.numRows
       }
       out.close()
       // Commit via rename-if-absent: FileContext's default rename FAILS when
@@ -155,6 +310,12 @@ object BlockFiles {
           }
         } catch {
           case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+            // check-then-rename fallback: NOT atomic-if-absent. Flag it so a
+            // deployment on a scheme lacking a FileContext binding notices
+            // it is relying on rename-over-existing atomicity.
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"no AbstractFileSystem for ${finalPath.toUri.getScheme}: " +
+                "falling back to check-then-rename commit (requires atomic rename semantics)")
             if (fs.exists(finalPath)) true
             else fs.rename(tmpPath, finalPath) || fs.exists(finalPath)
         }

@@ -42,12 +42,18 @@ object BtrEncoder {
     * directly: string columns come out as UTF8String bytes with NO
     * UTF-16 transcode (Row.getString would decode to java String and we'd
     * re-encode — 2 full passes over all content bytes, measured ~2x CPU).
+    *
+    * `keyCols` (optional): capture an order-preserving binary key from the
+    * FIRST row of every chunk — the range-exchange key for the compressed
+    * shuffle (BlockFiles.writeCompressedExchange). Copied eagerly because
+    * the physical plan reuses the InternalRow it hands out.
     */
   final class PartitionEncodeIterator(
       rows: Iterator[org.apache.spark.sql.catalyst.InternalRow],
       schema: StructType,
       colTypes: Array[Int],
-      cfg: BtrConfig)
+      cfg: BtrConfig,
+      keyCols: Array[Int] = Array.emptyIntArray)
     extends Iterator[CompressedPart] {
 
     private val nCols = schema.length
@@ -55,6 +61,38 @@ object BtrEncoder {
     private var chunkIdx = 0
     private var firstRow = 0L
     private var pending: Iterator[CompressedPart] = Iterator.empty
+    private val chunkKeys = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+
+    /** Binary range key of chunk `ci` (only when keyCols were requested). */
+    def chunkKey(ci: Int): Array[Byte] = chunkKeys(ci)
+
+    /** Order-preserving binary encoding: unsigned-lexicographic compare of
+      * the result matches (k0, k1, …) tuple order — strings by UTF-8 bytes
+      * (Spark's binary collation) with a 0x00 terminator, ints sign-flipped
+      * big-endian, doubles IEEE-754 total-order bits.
+      */
+    private def captureKey(row: org.apache.spark.sql.catalyst.InternalRow): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(32)
+      var k = 0
+      while (k < keyCols.length) {
+        val c = keyCols(k)
+        colTypes(c) match {
+          case ColType.Integer =>
+            val v = row.getInt(c) ^ 0x80000000
+            out.write(v >>> 24); out.write(v >>> 16); out.write(v >>> 8); out.write(v)
+          case ColType.Double =>
+            val bits0 = java.lang.Double.doubleToLongBits(row.getDouble(c))
+            val v = if (bits0 < 0) ~bits0 else bits0 ^ Long.MinValue
+            var s = 56
+            while (s >= 0) { out.write((v >>> s).toInt); s -= 8 }
+          case ColType.String =>
+            out.write(row.getUTF8String(c).getBytes)
+            out.write(0)
+        }
+        k += 1
+      }
+      out.toByteArray
+    }
 
     // reusable typed buffers, one per column; strings go into a contiguous
     // arena (StrSlicesBuilder) instead of one Array[Byte] per value
@@ -85,6 +123,7 @@ object BtrEncoder {
       var n = 0
       while (n < cfg.blockSize && rows.hasNext) {
         val row = rows.next()
+        if (n == 0 && keyCols.nonEmpty) chunkKeys += captureKey(row)
         var c = 0
         while (c < nCols) {
           if (row.isNullAt(c))

@@ -96,8 +96,8 @@ class BtrSourceSpec extends AnyFunSuite {
     var skipped = 0L
     var read = 0L
     files.foreach { f =>
-      val r = new BtrPartitionReader(f, conf, Array(0), Array(0, 2, 1),
-        Array(ZoneRange(0, 1000, 1099)))
+      val r = new BtrPartitionReader(f, conf, Array(0),
+        Array(LongZonePred(0, 1000, 1099)))
       while (r.next()) read += 1
       skipped += r.chunksSkipped
       r.close()
@@ -198,6 +198,74 @@ class BtrSourceSpec extends AnyFunSuite {
     graft.engine.BtrTable.writeManifest(spark, dir, m)
     val back = spark.read.format("btr").load(dir)
     assert(back.collect().map(_.getInt(0)).sorted.toSeq == Seq(7, 8, 9))
+  }
+
+  test("compressed-frame range exchange: map-side encode + frame shuffle round-trips") {
+    import spark.implicits._
+    val dir = tmp("cxr")
+    val df = (0 until 6000)
+      .map(i => (s"repo${i % 7}", s"path/f$i.scala", i, i * 0.25, s"line $i\n" * (1 + i % 4)))
+      .toDF("repo", "path", "v", "d", "content").repartition(5)
+    val m = BlockFiles.write(df, dir, BtrConfig(blockSize = 256),
+      rangeCols = Seq("repo", "path"), compressedExchange = true)
+    assert(m.numRows == 6000)
+    assert(m.encBytes < m.rawBytes, s"compressed ${m.encBytes} < raw ${m.rawBytes}")
+    val back = spark.read.format("btr").load(dir)
+    assert(back.count() == 6000)
+    assert(back.except(df).count() == 0 && df.except(back).count() == 0)
+  }
+
+  test("columnar read path: scan reports columnar batches") {
+    import spark.implicits._
+    val dir = tmp("columnar")
+    val df = (0 until 3000).map(i => (i, s"s$i", i * 0.5)).toDF("id", "s", "d")
+    BlockFiles.write(df, dir, BtrConfig(blockSize = 512))
+    val q = spark.read.format("btr").load(dir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), s"scan must be columnar:\n$plan")
+    assert(q.agg(sum("id"), sum("d")).head().getLong(0) == (0 until 3000).map(_.toLong).sum)
+    // limit pushdown still honored through the columnar reader
+    assert(spark.read.format("btr").load(dir).limit(13).collect().length == 13)
+  }
+
+  test("double and string zone maps (v3 frames) skip chunks, results exact") {
+    import spark.implicits._
+    val dir = tmp("zskip3")
+    val df = (0 until 8192).map(i => (i, f"k$i%05d", i * 1.5)).toDF("id", "s", "d")
+    BlockFiles.write(df, dir, BtrConfig(blockSize = 256), rangeCols = Seq("id"))
+
+    val qd = spark.read.format("btr").load(dir)
+      .where(col("d") >= 1500.0 && col("d") < 1650.0)
+    assert(qd.queryExecution.executedPlan.toString.contains("zoneFilters=d:"),
+      "double range filter must reach the scan")
+    assert(qd.collect().map(_.getInt(0)).sorted.toSeq == (1000 until 1100).toSeq)
+
+    val qs = spark.read.format("btr").load(dir).where(col("s") === "k04321")
+    assert(qs.queryExecution.executedPlan.toString.contains("zoneFilters=s:"),
+      "string equality filter must reach the scan")
+    assert(qs.collect().map(_.getInt(0)).toSeq == Seq(4321))
+
+    // reader-level evidence for both predicate kinds
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(s"$dir/blocks").getFileSystem(conf)
+    val files = fs.listStatus(new Path(s"$dir/blocks"))
+      .map(_.getPath.toString).filter(_.contains("part-")).sorted
+    var skippedD = 0L
+    var skippedS = 0L
+    files.foreach { f =>
+      val rd = new BtrPartitionReader(f, conf, Array(0), Array(DoubleZonePred(2, 1500.0, 1649.5)))
+      while (rd.next()) ()
+      skippedD += rd.chunksSkipped
+      rd.close()
+      val rs = new BtrPartitionReader(f, conf, Array(0),
+        Array(StringZonePred(1, StrOp.EQ, "k04321".getBytes("UTF-8"))))
+      while (rs.next()) ()
+      skippedS += rs.chunksSkipped
+      rs.close()
+    }
+    assert(skippedD > 20, s"double zones must skip most of the 32 chunks: $skippedD")
+    assert(skippedS > 20, s"string zones must skip most of the 32 chunks: $skippedS")
   }
 
   test("range-partitioned blocks write") {
