@@ -109,9 +109,11 @@ object DedupOps {
     */
   private def collapseExact(df: DataFrame, idCol: String, textCol: String)
     : (DataFrame, DataFrame) = {
+    // sha256 (not md5): engineered md5 collisions exist in real crawl
+    // corpora and would merge two distinct documents into one dup group
     val withH = df
       .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-      .withColumn("__h", md5(col("text")))
+      .withColumn("__h", sha2(col("text"), 256))
     val slim = withH.select("id", "__h")
     val repIds = slim.groupBy(col("__h")).agg(min(col("id")).as("rep"))
     val dupPairs = slim.join(repIds, "__h")
@@ -123,10 +125,24 @@ object DedupOps {
     (reps, dupPairs)
   }
 
-  private def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
+  /** Drop over-full LSH buckets from candidate generation. This TRADES
+    * recall for boundedness (a genuinely-near pair sharing only a hot
+    * bucket is never emitted) — the count of dropped rows is observable:
+    * pass an `Observation` and read its `dropped_bucket_rows` metric after
+    * the action (zero-cost plan-level metric, no extra pass).
+    */
+  private def capBuckets(
+      banded: DataFrame,
+      maxBucket: Int,
+      dropped: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val w = Window.partitionBy(col("band"), col("bkey"))
-    banded
-      .withColumn("__bsz", count(lit(1)).over(w))
+    val sized = banded.withColumn("__bsz", count(lit(1)).over(w))
+    val observed = dropped match {
+      case Some(obs) => sized.observe(obs,
+        sum(when(col("__bsz") > maxBucket, 1L).otherwise(0L)).as("dropped_bucket_rows"))
+      case None => sized
+    }
+    observed
       .filter(col("__bsz") <= maxBucket)
       .drop("__bsz")
   }
@@ -147,7 +163,8 @@ object DedupOps {
       rowsPerBand: Int = 8,
       threshold: Double = 0.7,
       seed: Long = 42L,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000,
+      droppedObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val numHashes = bands * rowsPerBand
     val spark = df.sparkSession
     import spark.implicits._
@@ -170,7 +187,7 @@ object DedupOps {
           hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bkey"))
       }: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey")),
-      maxBucket)
+      maxBucket, droppedObs)
 
     val cand = banded.as("l")
       .join(banded.as("r"),
@@ -261,7 +278,8 @@ object DedupOps {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000,
+      droppedObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     require(maxHamming < 4, "4×16-bit banding covers hamming <= 3")
     val spark = df.sparkSession
     import spark.implicits._
@@ -278,7 +296,7 @@ object DedupOps {
           shiftright(col("sh"), b * 16).bitwiseAND(lit(0xffffL)).as("bkey"))
       }: _*)).as("bk"))
       .select(col("id"), col("sh"), col("bk.band").as("band"), col("bk.bkey").as("bkey")),
-      maxBucket)
+      maxBucket, droppedObs)
     banded.as("l")
       .join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
@@ -296,6 +314,14 @@ object DedupOps {
   /** Near-duplicate vector pairs by cosine >= threshold, candidates from
     * random-hyperplane sign LSH (`planes` bits, bucket join), verified
     * exactly. Embeddings are Array[Float] columns.
+    *
+    * Same hot-bucket defenses as the text dedups: identical vectors are
+    * pre-collapsed on a 64-bit content hash (candidate pairs verified by
+    * exact vector equality so a hash collision cannot forge a dup), only
+    * unique representatives enter the sign-LSH join, and over-full sign
+    * buckets are capped — an embedding corpus full of one boilerplate
+    * vector would otherwise make O(bucket²) candidates carrying full
+    * Array[Float]s on both sides.
     */
   def embeddingPairs(
       df: DataFrame,
@@ -303,33 +329,55 @@ object DedupOps {
       vecCol: String,
       threshold: Double = 0.95,
       planes: Int = 12,
-      seed: Long = 7L): DataFrame = {
+      seed: Long = 7L,
+      maxBucket: Int = 1000,
+      droppedObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val vecs = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+
+    // exact pre-collapse on a NARROW (id, hash) projection; the (rep, dup)
+    // candidates are then verified with full-vector equality (kills 64-bit
+    // collisions), emitted with cosine 1.0 by definition
+    val withH = vecs.withColumn("__h", xxhash64(col("v")))
+    val slim = withH.select("id", "__h")
+    val repIds = slim.groupBy(col("__h")).agg(min(col("id")).as("rep"))
+    val dupCand = slim.join(repIds, "__h").filter(col("id") =!= col("rep"))
+    val dupPairs = dupCand
+      .join(vecs.select(col("id").as("rep"), col("v").as("va")), "rep")
+      .join(vecs.select(col("id"), col("v").as("vb")), "id")
+      .filter(col("va") === col("vb"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"), lit(1.0).as("cosine"))
+    val reps = withH
+      .join(repIds.select(col("rep").as("id")), Seq("id"), "left_semi")
+      .select("id", "v")
       .as[(Long, Array[Float])]
       .cache()
-    val dim = vecs.head()._2.length
+
+    val dim = reps.head()._2.length
     val rnd = new scala.util.Random(seed)
     val hyper = Array.fill(planes, dim)(rnd.nextGaussian())
     val hyperB = spark.sparkContext.broadcast(hyper)
 
-    val sigDf = vecs.map { case (id, v) =>
-      val h = hyperB.value
-      var sig = 0
-      var p = 0
-      while (p < planes) {
-        var dot = 0.0
-        var i = 0
-        while (i < v.length) { dot += h(p)(i) * v(i); i += 1 }
-        if (dot >= 0) sig |= 1 << p
-        p += 1
-      }
-      (id, v, sig)
-    }.toDF("id", "v", "sig")
+    val sigDf = capBuckets(
+      reps.map { case (id, v) =>
+        val h = hyperB.value
+        var sig = 0
+        var p = 0
+        while (p < planes) {
+          var dot = 0.0
+          var i = 0
+          while (i < v.length) { dot += h(p)(i) * v(i); i += 1 }
+          if (dot >= 0) sig |= 1 << p
+          p += 1
+        }
+        (id, v, sig)
+      }.toDF("id", "v", "sig")
+        .withColumn("band", lit(0)).withColumnRenamed("sig", "bkey"),
+      maxBucket, droppedObs)
 
     val cand = sigDf.as("l")
-      .join(sigDf.as("r"), col("l.sig") === col("r.sig") && col("l.id") < col("r.id"))
+      .join(sigDf.as("r"), col("l.bkey") === col("r.bkey") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("l.v").as("va"),
         col("r.id").as("id_b"), col("r.v").as("vb"))
 
@@ -337,6 +385,7 @@ object DedupOps {
       .map { case (a, va, b, vb) => (a, b, SimilarityOps.cosine(va, vb)) }
       .toDF("id_a", "id_b", "cosine")
       .filter(col("cosine") >= threshold)
+      .unionAll(dupPairs)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
   }
 }

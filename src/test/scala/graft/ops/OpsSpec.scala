@@ -105,6 +105,55 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)), s"planted pair missing: $pairs")
   }
 
+  test("embeddingPairs: identical-vector flood collapses, hot buckets capped + observable") {
+    val rnd = new scala.util.Random(5)
+    val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+    // 5000 EXACT copies: must pre-collapse to one representative (never
+    // enter the LSH self-join) and emit (1, i, 1.0) for every copy
+    val flood = (1L to 5000L).map(i => (i, base.clone()))
+    // 300 DISTINCT near-copies of a second vector: same sign bucket, so a
+    // maxBucket cap below 300 must drop (part of) that bucket, observably
+    val base2 = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val cluster = (10001L to 10300L).map { i =>
+      val v = base2.clone(); v(0) = v(0) + (i - 10000L) * 1e-6f; (i, v)
+    }
+    val df = (flood ++ cluster).toDF("vec_id", "embedding").repartition(8)
+    val obs = org.apache.spark.sql.Observation("emb_dropped")
+    val pairs = DedupOps.embeddingPairs(df, "vec_id", "embedding",
+      threshold = 0.99, maxBucket = 50, droppedObs = Some(obs))
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val dupPairs = pairs.filter(_._1 == 1L)
+    assert(dupPairs.length == 4999, s"all exact copies collapse to rep 1: ${dupPairs.length}")
+    assert(obs.get("dropped_bucket_rows").asInstanceOf[Long] > 0,
+      "over-cap bucket rows must be observable")
+    // candidates stayed bounded: nothing from the capped cluster leaked
+    assert(pairs.length == 4999, s"capped cluster must emit no pairs: ${pairs.length}")
+  }
+
+  test("lshTopK and ivfTopK organic recall vs brute force stays above floor") {
+    val rnd = new scala.util.Random(23)
+    val corpus = (1L to 600L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val corpusDf = corpus.toDF("vec_id", "embedding").repartition(4)
+    val queryDf = corpus.take(10).toDF("vec_id", "embedding")
+    val brute = SimilarityOps.bruteForceTopK(corpusDf, queryDf, "vec_id", "embedding", 5)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    def recallOf(res: org.apache.spark.sql.DataFrame): Double = {
+      val got = res.select("query_id", "corpus_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      brute.map { case (q, exact) =>
+        got.getOrElse(q, Set.empty).intersect(exact).size.toDouble / exact.size
+      }.sum / brute.size
+    }
+    val lshRecall = recallOf(
+      SimilarityOps.lshTopK(corpusDf, queryDf, "vec_id", "embedding", k = 5))
+    val ivfRecall = recallOf(
+      SimilarityOps.ivfTopK(corpusDf, queryDf, "vec_id", "embedding", k = 5,
+        nCentroids = 8, nProbe = 4))
+    assert(lshRecall >= 0.4, s"LSH multiprobe recall floor: $lshRecall")
+    assert(ivfRecall >= 0.6, s"IVF nProbe=4/8 recall floor: $ivfRecall")
+  }
+
   test("bruteForceTopK matches naive exact computation") {
     val rnd = new scala.util.Random(11)
     val corpus = (1L to 200L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
