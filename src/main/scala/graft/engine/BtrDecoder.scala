@@ -95,6 +95,11 @@ object BtrDecoder {
     }
 
     private def buildChunk(): Iterator[InternalRow] = {
+      // completeness fail-fast: a corrupt/partial parts dir surfaces as a
+      // clear per-chunk error instead of a null decode downstream
+      require(pendingCount == nOut,
+        s"chunk (partition ${(pendingKey >> 32).toInt}, chunk ${pendingKey.toInt}) has " +
+          s"$pendingCount of $nOut selected column parts — parts dir incomplete or duplicated")
       val decoded = new Array[AnyRef](nOut)
       var i = 0
       while (i < nOut) {

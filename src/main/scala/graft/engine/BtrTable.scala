@@ -1,7 +1,7 @@
 package graft.engine
 
 import graft.codec.BtrConfig
-import graft.format.{BtrManifest, ColumnMeta, CompressedPart}
+import graft.format.{BtrManifest, BucketStat, ColumnMeta, CompressedPart}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.hadoop.fs.Path
@@ -71,9 +71,11 @@ object BtrTable {
         val keys = rangeCols.map(col) :+ col("__salt")
         salted.repartitionByRange(n, keys: _*).drop("__salt")
       }
-    val parts = BtrEncoder.encodeToParts(prepared, cfg)
+    val (parts, obs) = observed(BtrEncoder.encodeToParts(prepared, cfg))
     parts.write.mode("overwrite").parquet(s"$dir/parts")
-    finishManifest(spark, dir, prepared.schema, cfg, Seq(0))
+    val s = statsOf(obs)
+    finishManifest(spark, dir, prepared.schema, cfg, Seq(0), s,
+      Seq(BucketStat(0, s._1, s._2, s._3, s._4)))
   }
 
   /** Resumable encode+write over deterministic hash buckets. */
@@ -85,24 +87,38 @@ object BtrTable {
     val spark = df.sparkSession
     val schema = df.schema
     BtrEncoder.validateSchema(schema)
-    val done: Set[Int] =
-      if (exists(spark, dir)) readManifest(spark, dir).completedPartitions.toSet
-      else Set.empty
+    val prev: Option[BtrManifest] =
+      if (exists(spark, dir)) Some(readManifest(spark, dir)) else None
+    val done: Set[Int] = prev.map(_.completedPartitions.toSet).getOrElse(Set.empty)
     val allCols = df.columns.map(col)
     val bucketed = df.withColumn("__bucket", pmod(hash(allCols: _*), lit(buckets)))
     var completed = done.toSeq.sorted
+    // per-bucket stats live in the manifest lineage: each bucket's numbers
+    // come from ITS OWN write job (observe metrics, exactly-once), and the
+    // totals are re-derived from the COMPLETED buckets' recorded stats —
+    // a rewound lineage (crash between parquet commit and manifest write)
+    // self-corrects with no re-scan of written parts
+    var statsByBucket: Map[Int, BucketStat] =
+      prev.map(_.bucketStats.map(s => s.bucket -> s).toMap).getOrElse(Map.empty)
+    def totalsOf(c: Seq[Int]): (Long, Long, Long, Long) =
+      c.flatMap(statsByBucket.get).foldLeft((0L, 0L, 0L, 0L)) { (t, s) =>
+        (t._1 + s.rawBytes, t._2 + s.encBytes, t._3 + s.numRows, t._4 + s.numPartitions)
+      }
     import spark.implicits._
     for (b <- 0 until buckets if !done.contains(b)) {
       val slice = bucketed.filter(col("__bucket") === b).drop("__bucket")
       // partitionId must be globally unique across buckets: decode groups
       // chunks by (partitionId, chunkIdx), and each bucket restarts Spark's
       // partition numbering at 0
-      BtrEncoder
-        .encodeToParts(slice, cfg)
-        .map(p => p.copy(partitionId = p.partitionId * buckets + b))
-        .write.mode("overwrite").parquet(s"$dir/parts/bucket=$b")
+      val (parts, obs) = observed(
+        BtrEncoder.encodeToParts(slice, cfg)
+          .map(p => p.copy(partitionId = p.partitionId * buckets + b)))
+      parts.write.mode("overwrite").parquet(s"$dir/parts/bucket=$b")
+      val s = statsOf(obs)
+      statsByBucket += b -> BucketStat(b, s._1, s._2, s._3, s._4)
       completed = completed :+ b
-      finishManifest(spark, dir, schema, cfg, completed)
+      finishManifest(spark, dir, schema, cfg, completed, totalsOf(completed),
+        completed.flatMap(statsByBucket.get))
     }
     readManifest(spark, dir)
   }
@@ -112,32 +128,54 @@ object BtrTable {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  /** Recompute manifest totals from the written parts (one cheap scan of
-    * parts metadata columns — bytes column pruned away by parquet).
+  /** Attach manifest-stat metrics to the encode plan: collected DURING the
+    * write job (exactly-once plan-level aggregation, retry-safe), so a
+    * write is ONE job — the former re-scan of the parts parquet was a ~10%
+    * serial fraction after every encode. numPartitions counts the
+    * (colIdx=0, chunkIdx=0) part each non-empty partition emits exactly
+    * once (observe forbids distinct aggregates).
     */
+  private def observed(parts: Dataset[CompressedPart])
+    : (Dataset[CompressedPart], org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation()
+    (parts.observe(obs,
+      sum("rawBytes").as("raw"),
+      sum("encBytes").as("enc"),
+      sum(when(col("colIdx") === 0, col("numRows")).otherwise(0L)).as("rows"),
+      sum(when(col("colIdx") === 0 && col("chunkIdx") === 0, 1L).otherwise(0L)).as("nparts")),
+      obs)
+  }
+
+  /** (raw, enc, rows, nparts) from the completed write's observation. */
+  private def statsOf(obs: org.apache.spark.sql.Observation): (Long, Long, Long, Long) = {
+    val m = obs.get
+    def l(k: String): Long = m.get(k) match {
+      case Some(v: java.lang.Number) => v.longValue
+      case _                         => 0L // empty input: sums observe as null
+    }
+    (l("raw"), l("enc"), l("rows"), l("nparts"))
+  }
+
   private def finishManifest(
       spark: SparkSession,
       dir: String,
       schema: org.apache.spark.sql.types.StructType,
       cfg: BtrConfig,
-      completed: Seq[Int]): BtrManifest = {
+      completed: Seq[Int],
+      totals: (Long, Long, Long, Long),
+      bucketStats: Seq[BucketStat]): BtrManifest = {
     val colTypes = BtrEncoder.validateSchema(schema)
     val cols = schema.fields.zip(colTypes).map { case (f, t) => ColumnMeta(f.name, t) }
-    val p = spark.read.parquet(s"$dir/parts")
-    val agg = p.agg(
-      sum("rawBytes").as("raw"),
-      sum("encBytes").as("enc"),
-      sum(when(col("colIdx") === 0, col("numRows")).otherwise(0L)).as("rows"),
-      countDistinct("partitionId").as("nparts")).collect()(0)
     val m = BtrManifest(
       columns = cols.toSeq,
-      numPartitions = agg.getLong(3).toInt,
+      numPartitions = totals._4.toInt,
       blockSize = cfg.blockSize,
       maxCascadeDepth = cfg.maxCascadeDepth,
-      numRows = agg.getLong(2),
-      rawBytes = agg.getLong(0),
-      encBytes = agg.getLong(1),
-      completedPartitions = completed)
+      numRows = totals._3,
+      rawBytes = totals._1,
+      encBytes = totals._2,
+      completedPartitions = completed,
+      bucketStats = bucketStats)
     writeManifest(spark, dir, m)
     m
   }

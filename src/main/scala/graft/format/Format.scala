@@ -33,6 +33,14 @@ final case class CompressedPart(
 
 final case class ColumnMeta(name: String, colType: Int)
 
+/** Per-bucket write stats, persisted in the manifest lineage (north rule:
+  * per-partition lineage + metrics). Totals are derived from the COMPLETED
+  * buckets' recorded stats, never by re-scanning written parts — so a
+  * rewound/crashed lineage stays self-consistent.
+  */
+final case class BucketStat(
+    bucket: Int, rawBytes: Long, encBytes: Long, numRows: Long, numPartitions: Long)
+
 /** Manifest mirroring the reference's FileMetadata{num_columns, num_chunks,
   * parts} (/root/reference/src/btrblocks.rs:121-199) plus checkpoint lineage
   * for resumable runs (north rule).
@@ -45,7 +53,8 @@ final case class BtrManifest(
     numRows: Long,
     rawBytes: Long,
     encBytes: Long,
-    completedPartitions: Seq[Int]) {
+    completedPartitions: Seq[Int],
+    bucketStats: Seq[BucketStat] = Nil) {
   def ratio: Double = if (encBytes == 0) 0.0 else rawBytes.toDouble / encBytes
 }
 
@@ -65,9 +74,16 @@ object BtrManifest {
       .map(c => s"""{"name":"${esc(c.name)}","colType":${c.colType}}""")
       .mkString("[", ",", "]")
     val done = m.completedPartitions.mkString("[", ",", "]")
+    // inner keys deliberately differ from the top-level field names: the
+    // minimal parser matches fields by first regex occurrence
+    val stats = m.bucketStats
+      .map(s => s"""{"b":${s.bucket},"raw":${s.rawBytes},"enc":${s.encBytes},""" +
+        s""""rows":${s.numRows},"nparts":${s.numPartitions}}""")
+      .mkString("[", ",", "]")
     s"""{"columns":$cols,"numPartitions":${m.numPartitions},"blockSize":${m.blockSize},""" +
       s""""maxCascadeDepth":${m.maxCascadeDepth},"numRows":${m.numRows},""" +
-      s""""rawBytes":${m.rawBytes},"encBytes":${m.encBytes},"completedPartitions":$done}"""
+      s""""rawBytes":${m.rawBytes},"encBytes":${m.encBytes},"completedPartitions":$done,""" +
+      s""""bucketStats":$stats}"""
   }
 
   /** Minimal JSON parse (manifest is machine-written, flat, known shape). */
@@ -88,6 +104,12 @@ object BtrManifest {
       .filter(_.nonEmpty)
       .map(_.split(",").map(_.trim.toInt).toSeq)
       .getOrElse(Seq.empty)
+    val statRe =
+      ("\\{\"b\":(-?\\d+),\"raw\":(-?\\d+),\"enc\":(-?\\d+)," +
+        "\"rows\":(-?\\d+),\"nparts\":(-?\\d+)\\}").r
+    val stats = statRe.findAllMatchIn(json).map(m =>
+      BucketStat(m.group(1).toInt, m.group(2).toLong, m.group(3).toLong,
+        m.group(4).toLong, m.group(5).toLong)).toSeq
     BtrManifest(
       columns = cols,
       numPartitions = longField("numPartitions").toInt,
@@ -96,7 +118,8 @@ object BtrManifest {
       numRows = longField("numRows"),
       rawBytes = longField("rawBytes"),
       encBytes = longField("encBytes"),
-      completedPartitions = done)
+      completedPartitions = done,
+      bucketStats = stats)
   }
 
   private def unesc(s: String): String = {
