@@ -9,6 +9,7 @@ import org.apache.spark.sql.SparkSession
   * query) plus encode/decode/verify/stats over parquet inputs.
   *
   *   spark-submit --class graft.Cli app.jar encode <in.parquet> <out.btr> [rangeCols,...]
+  *   spark-submit --class graft.Cli app.jar encode-blocks <in.parquet> <out.btr> [rangeCols,...]
   *   spark-submit --class graft.Cli app.jar decode <in.btr> <out.parquet> [col,...]
   *   spark-submit --class graft.Cli app.jar from-csv <in.csv> <out.btr> <name:type,...>
   *   spark-submit --class graft.Cli app.jar to-csv <in.btr> <out.csv>
@@ -36,6 +37,13 @@ object Cli {
       val rangeCols = if (args.length > 3) args(3).split(",").toSeq else Nil
       val m = BtrTable.write(spark.read.parquet(args(1)), args(2),
         BtrConfig.default, rangeCols = rangeCols)
+      println(s"encoded rows=${m.numRows} raw=${m.rawBytes} enc=${m.encBytes} ratio=${m.ratio}")
+    case "encode-blocks" =>
+      // raw block-file layout read back via spark.read.format("btr");
+      // range keys shuffle COMPRESSED frames (the 100 TB ingest shape)
+      val rangeCols = if (args.length > 3) args(3).split(",").toSeq else Nil
+      val m = graft.engine.BlockFiles.write(spark.read.parquet(args(1)), args(2),
+        BtrConfig.default, rangeCols = rangeCols, compressedExchange = rangeCols.nonEmpty)
       println(s"encoded rows=${m.numRows} raw=${m.rawBytes} enc=${m.encBytes} ratio=${m.ratio}")
     case "decode" =>
       val cols = if (args.length > 3) args(3).split(",").toSeq else Nil

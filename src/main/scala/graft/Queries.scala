@@ -167,12 +167,18 @@ object Queries {
     */
   private def rtExprInt(s: SparkSession, dir: String): DataFrame = {
     import graft.expr.BtrFunctions._
+    // chunk by orderkey RANGE (~1000 keys per encode chunk), not per-key:
+    // per-key grouping made 1.5M four-element arrays — 250x more groups
+    // than needed just to exercise the expression. Two collect_lists in one
+    // aggregate consume the group's rows in one stream, so ks/xs align.
     t(s, dir, "lineitem")
-      .groupBy(col("l_orderkey"))
-      .agg(collect_list(col("l_linenumber")).as("xs"))
-      .select(
-        col("l_orderkey"),
-        explode(btr_decode_int(btr_encode_int(col("xs")))).as("l_linenumber"))
+      .groupBy(floor(col("l_orderkey") / 1000).as("g"))
+      .agg(
+        collect_list(col("l_orderkey")).as("ks"),
+        collect_list(col("l_linenumber")).as("xs"))
+      .select(col("ks"), btr_decode_int(btr_encode_int(col("xs"))).as("vs"))
+      .select(explode(arrays_zip(col("ks"), col("vs"))).as("z"))
+      .select(col("z.ks").as("l_orderkey"), col("z.vs").as("l_linenumber"))
   }
 
   /** Same through the SQL registration path (reference's `query` CLI analog,
