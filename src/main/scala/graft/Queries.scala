@@ -313,6 +313,20 @@ object Queries {
     s.read.format("btr").load(out).where(col("doc_id").between(100, 199))
   }
 
+  /** DSv2 WRITE path end-to-end: df.write.format("btr") with declarative
+    * range clustering (RequiresDistributionAndOrdering — Spark plans the
+    * exchange), manifest committed by the driver, read back through the
+    * same source. Oracle = identity SELECT.
+    */
+  private def rtWriteSource(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(
+      col("doc_id").cast("int").as("doc_id"), col("lang"),
+      col("n_chars").cast("int").as("n_chars"))
+    val out = cachedBtr(s, s"rt_write_src_${math.abs(dir.hashCode)}", docs)(o =>
+      docs.write.format("btr").mode("overwrite").option("rangeCols", "doc_id").save(o))
+    s.read.format("btr").load(out)
+  }
+
   /** Typed zone-map pushdown INTO the DSv2 source beyond ints: a string
     * equality and a double range reach the scan and skip chunks via the v3
     * frame zones (the reference pushes nothing). Oracle = plain WHERE.
@@ -481,6 +495,7 @@ object Queries {
     "q_prune_typed" -> (qPruneTyped _),
     "rt_csv" -> (rtCsv _),
     "rt_source" -> (rtSource _),
+    "rt_write_source" -> (rtWriteSource _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
@@ -565,6 +580,9 @@ object Queries {
         "1.0 AS cosine FROM embeddings WHERE vec_id < 5"),
     "rt_source" ->
       "SELECT CAST(doc_id AS INTEGER) AS doc_id, lang FROM documents",
+    "rt_write_source" ->
+      ("SELECT CAST(doc_id AS INTEGER) AS doc_id, lang, " +
+        "CAST(n_chars AS INTEGER) AS n_chars FROM documents"),
     "rt_csv" ->
       ("SELECT CAST(doc_id AS INTEGER) AS doc_id, lang, source, " +
         "CAST(n_chars AS INTEGER) AS n_chars FROM documents"),

@@ -293,32 +293,7 @@ object BlockFiles {
         numRows += f.numRows
       }
       out.close()
-      // Commit via rename-if-absent: FileContext's default rename FAILS when
-      // the destination exists, so the first attempt wins (atomic on
-      // HDFS-like stores, where plain FileSystem.rename-over-existing would
-      // let a later speculative attempt replace a committed file). Schemes
-      // without an AbstractFileSystem binding fall back to a checked rename;
-      // the residual race there is local-FS only, where rename is an atomic
-      // in-place replace of one complete valid encode by another and open
-      // readers keep their inode.
-      committed =
-        try {
-          val fc = org.apache.hadoop.fs.FileContext.getFileContext(finalPath.toUri, conf)
-          try { fc.rename(tmpPath, finalPath); true }
-          catch {
-            case _: org.apache.hadoop.fs.FileAlreadyExistsException => true // other attempt won
-          }
-        } catch {
-          case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-            // check-then-rename fallback: NOT atomic-if-absent. Flag it so a
-            // deployment on a scheme lacking a FileContext binding notices
-            // it is relying on rename-over-existing atomicity.
-            org.slf4j.LoggerFactory.getLogger(getClass).warn(
-              s"no AbstractFileSystem for ${finalPath.toUri.getScheme}: " +
-                "falling back to check-then-rename commit (requires atomic rename semantics)")
-            if (fs.exists(finalPath)) true
-            else fs.rename(tmpPath, finalPath) || fs.exists(finalPath)
-        }
+      committed = commitRename(conf, fs, tmpPath, finalPath)
       if (!committed)
         sys.error(s"could not commit $tmpPath -> $finalPath")
     } finally {
@@ -327,4 +302,37 @@ object BlockFiles {
     }
     (rawBytes, encBytes, numRows)
   }
+
+  /** Commit via rename-if-absent: FileContext's default rename FAILS when
+    * the destination exists, so the first attempt wins (atomic on
+    * HDFS-like stores, where plain FileSystem.rename-over-existing would
+    * let a later speculative attempt replace a committed file). Schemes
+    * without an AbstractFileSystem binding fall back to a checked rename;
+    * the residual race there is local-FS only, where rename is an atomic
+    * in-place replace of one complete valid encode by another and open
+    * readers keep their inode. Returns true when a committed file exists
+    * (whether from this attempt or an earlier winner).
+    */
+  def commitRename(
+      conf: org.apache.hadoop.conf.Configuration,
+      fs: org.apache.hadoop.fs.FileSystem,
+      tmpPath: Path,
+      finalPath: Path): Boolean =
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(finalPath.toUri, conf)
+      try { fc.rename(tmpPath, finalPath); true }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => true // other attempt won
+      }
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        // check-then-rename fallback: NOT atomic-if-absent. Flag it so a
+        // deployment on a scheme lacking a FileContext binding notices
+        // it is relying on rename-over-existing atomicity.
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"no AbstractFileSystem for ${finalPath.toUri.getScheme}: " +
+            "falling back to check-then-rename commit (requires atomic rename semantics)")
+        if (fs.exists(finalPath)) true
+        else fs.rename(tmpPath, finalPath) || fs.exists(finalPath)
+    }
 }

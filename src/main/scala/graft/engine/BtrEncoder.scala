@@ -4,6 +4,7 @@ import graft.codec.{BtrConfig, ColType}
 import graft.format.CompressedPart
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types._
 
 /** Distributed encode: DataFrame → Dataset[CompressedPart].
@@ -38,10 +39,96 @@ object BtrEncoder {
             "cast upstream)"))
     }
 
-  /** Lazily encodes one Spark partition chunk-by-chunk, reading InternalRow
-    * directly: string columns come out as UTF8String bytes with NO
-    * UTF-16 transcode (Row.getString would decode to java String and we'd
-    * re-encode — 2 full passes over all content bytes, measured ~2x CPU).
+  /** Push-based chunk accumulator: buffers up to blockSize rows in typed
+    * column buffers (strings in a contiguous arena — no per-value arrays)
+    * and encodes them into one CompressedPart per column on build().
+    * Reads InternalRow directly: string bytes go straight from UTF8String
+    * into the arena with NO UTF-16 transcode (Row.getString would decode
+    * to java String and re-encode — 2 full passes over all content bytes,
+    * measured ~2x CPU). Shared by the pull iterator below and the DSv2
+    * DataWriter (which is push-shaped by contract).
+    */
+  final class ChunkBuilder(
+      schema: StructType,
+      colTypes: Array[Int],
+      cfg: BtrConfig,
+      label: => String = "") {
+    private val nCols = schema.length
+    private val intBuf = new Array[Array[Int]](nCols)
+    private val dblBuf = new Array[Array[Double]](nCols)
+    private val strBuf = new Array[graft.codec.StrSlicesBuilder](nCols)
+    private var n = 0
+    locally {
+      var c = 0
+      while (c < nCols) {
+        colTypes(c) match {
+          case ColType.Integer => intBuf(c) = new Array[Int](cfg.blockSize)
+          case ColType.Double  => dblBuf(c) = new Array[Double](cfg.blockSize)
+          case ColType.String =>
+            strBuf(c) = new graft.codec.StrSlicesBuilder(1 << 16, cfg.blockSize)
+        }
+        c += 1
+      }
+    }
+
+    def size: Int = n
+    def isEmpty: Boolean = n == 0
+    def isFull: Boolean = n >= cfg.blockSize
+
+    def add(row: InternalRow): Unit = {
+      var c = 0
+      while (c < nCols) {
+        if (row.isNullAt(c))
+          throw new IllegalArgumentException(
+            s"null in column '${schema(c).name}'$label — " +
+              "btr columns are non-null (reference model, SURVEY §1.2)")
+        colTypes(c) match {
+          case ColType.Integer => intBuf(c)(n) = row.getInt(c)
+          case ColType.Double  => dblBuf(c)(n) = row.getDouble(c)
+          case ColType.String =>
+            // zero-copy: UTF8String bytes written straight into the arena
+            val u = row.getUTF8String(c)
+            val nb = u.numBytes()
+            val b = strBuf(c)
+            val at = b.reserve(nb)
+            u.writeToMemory(b.buffer, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + at)
+            b.commit(nb)
+        }
+        c += 1
+      }
+      n += 1
+    }
+
+    /** Encode the buffered rows (one part per column) and reset; buffers
+      * are reused across chunks, no reallocation.
+      */
+    def build(partitionId: Int, chunkIdx: Int, firstRow: Long): Array[CompressedPart] = {
+      val len = n
+      val parts = new Array[CompressedPart](nCols)
+      var c = 0
+      while (c < nCols) {
+        parts(c) = colTypes(c) match {
+          case ColType.Integer =>
+            ChunkEncoder.encodeInt(partitionId, chunkIdx, firstRow, c, schema(c).name, intBuf(c), len, cfg)
+          case ColType.Double =>
+            ChunkEncoder.encodeDouble(partitionId, chunkIdx, firstRow, c, schema(c).name, dblBuf(c), len, cfg)
+          case ColType.String =>
+            ChunkEncoder.encodeStringSlices(partitionId, chunkIdx, firstRow, c, schema(c).name, strBuf(c).result(), cfg)
+        }
+        c += 1
+      }
+      var k = 0
+      while (k < nCols) {
+        if (strBuf(k) != null) strBuf(k).clear()
+        k += 1
+      }
+      n = 0
+      parts
+    }
+  }
+
+  /** Lazily encodes one Spark partition chunk-by-chunk (pull shape over
+    * the ChunkBuilder).
     *
     * `keyCols` (optional): capture an order-preserving binary key from the
     * FIRST row of every chunk — the range-exchange key for the compressed
@@ -49,15 +136,15 @@ object BtrEncoder {
     * the physical plan reuses the InternalRow it hands out.
     */
   final class PartitionEncodeIterator(
-      rows: Iterator[org.apache.spark.sql.catalyst.InternalRow],
+      rows: Iterator[InternalRow],
       schema: StructType,
       colTypes: Array[Int],
       cfg: BtrConfig,
       keyCols: Array[Int] = Array.emptyIntArray)
     extends Iterator[CompressedPart] {
 
-    private val nCols = schema.length
     private val partitionId = TaskContext.getPartitionId()
+    private val builder = new ChunkBuilder(schema, colTypes, cfg, s" at partition $partitionId")
     private var chunkIdx = 0
     private var firstRow = 0L
     private var pending: Iterator[CompressedPart] = Iterator.empty
@@ -71,7 +158,7 @@ object BtrEncoder {
       * (Spark's binary collation) with a 0x00 terminator, ints sign-flipped
       * big-endian, doubles IEEE-754 total-order bits.
       */
-    private def captureKey(row: org.apache.spark.sql.catalyst.InternalRow): Array[Byte] = {
+    private def captureKey(row: InternalRow): Array[Byte] = {
       val out = new java.io.ByteArrayOutputStream(32)
       var k = 0
       while (k < keyCols.length) {
@@ -94,24 +181,6 @@ object BtrEncoder {
       out.toByteArray
     }
 
-    // reusable typed buffers, one per column; strings go into a contiguous
-    // arena (StrSlicesBuilder) instead of one Array[Byte] per value
-    private val intBuf = new Array[Array[Int]](nCols)
-    private val dblBuf = new Array[Array[Double]](nCols)
-    private val strBuf = new Array[graft.codec.StrSlicesBuilder](nCols)
-    locally {
-      var c = 0
-      while (c < nCols) {
-        colTypes(c) match {
-          case ColType.Integer => intBuf(c) = new Array[Int](cfg.blockSize)
-          case ColType.Double  => dblBuf(c) = new Array[Double](cfg.blockSize)
-          case ColType.String =>
-            strBuf(c) = new graft.codec.StrSlicesBuilder(1 << 16, cfg.blockSize)
-        }
-        c += 1
-      }
-    }
-
     override def hasNext: Boolean = pending.hasNext || rows.hasNext
 
     override def next(): CompressedPart = {
@@ -120,56 +189,15 @@ object BtrEncoder {
     }
 
     private def fillChunk(): Unit = {
-      var n = 0
-      while (n < cfg.blockSize && rows.hasNext) {
+      while (!builder.isFull && rows.hasNext) {
         val row = rows.next()
-        if (n == 0 && keyCols.nonEmpty) chunkKeys += captureKey(row)
-        var c = 0
-        while (c < nCols) {
-          if (row.isNullAt(c))
-            throw new IllegalArgumentException(
-              s"null in column '${schema(c).name}' at partition $partitionId — " +
-                "btr columns are non-null (reference model, SURVEY §1.2)")
-          colTypes(c) match {
-            case ColType.Integer => intBuf(c)(n) = row.getInt(c)
-            case ColType.Double  => dblBuf(c)(n) = row.getDouble(c)
-            case ColType.String =>
-              // zero-copy: UTF8String bytes written straight into the arena
-              val u = row.getUTF8String(c)
-              val nb = u.numBytes()
-              val b = strBuf(c)
-              val at = b.reserve(nb)
-              u.writeToMemory(b.buffer, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + at)
-              b.commit(nb)
-          }
-          c += 1
-        }
-        n += 1
+        if (builder.isEmpty && keyCols.nonEmpty) chunkKeys += captureKey(row)
+        builder.add(row)
       }
-      val len = n
-      val ci = chunkIdx
-      val fr = firstRow
+      val len = builder.size
+      val parts = builder.build(partitionId, chunkIdx, firstRow)
       chunkIdx += 1
       firstRow += len
-      val parts = new Array[CompressedPart](nCols)
-      var c = 0
-      while (c < nCols) {
-        parts(c) = colTypes(c) match {
-          case ColType.Integer =>
-            ChunkEncoder.encodeInt(partitionId, ci, fr, c, schema(c).name, intBuf(c), len, cfg)
-          case ColType.Double =>
-            ChunkEncoder.encodeDouble(partitionId, ci, fr, c, schema(c).name, dblBuf(c), len, cfg)
-          case ColType.String =>
-            ChunkEncoder.encodeStringSlices(partitionId, ci, fr, c, schema(c).name, strBuf(c).result(), cfg)
-        }
-        c += 1
-      }
-      // reset arenas for the next chunk (buffers reused, no reallocation)
-      var k = 0
-      while (k < nCols) {
-        if (strBuf(k) != null) strBuf(k).clear()
-        k += 1
-      }
       pending = parts.iterator
     }
   }

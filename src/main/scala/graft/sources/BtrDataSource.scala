@@ -47,6 +47,11 @@ class BtrDataSource extends TableProvider with DataSourceRegister {
       StructField(c.name, BtrDecoder.sparkType(c.colType), nullable = false)))
   }
 
+  /** Writes pass the dataframe's schema straight through (no manifest to
+    * infer from when creating a new table).
+    */
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
@@ -54,14 +59,20 @@ class BtrDataSource extends TableProvider with DataSourceRegister {
     new BtrBatchTable(properties.get("path"), schema)
 }
 
-class BtrBatchTable(dir: String, schema: StructType) extends Table with SupportsRead {
+class BtrBatchTable(dir: String, schema: StructType)
+  extends Table with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"btr:$dir"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new BtrScanBuilder(dir, schema)
+
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+    : org.apache.spark.sql.connector.write.WriteBuilder =
+    new BtrWriteBuilder(dir, info)
 }
 
 /** Zone predicate on one file column (by file column index): decides from a

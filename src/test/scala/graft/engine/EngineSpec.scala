@@ -143,9 +143,14 @@ class EngineSpec extends AnyFunSuite {
       Seq(ColumnMeta("a\"b", 0), ColumnMeta("content", 2)),
       numPartitions = 4, blockSize = 65536, maxCascadeDepth = 3,
       numRows = 123456789L, rawBytes = 1000L, encBytes = 250L,
-      completedPartitions = Seq(0, 2))
+      completedPartitions = Seq(0, 2),
+      bucketStats = Seq(BucketStat(0, 600L, 150L, 70000000L, 3),
+        BucketStat(2, 400L, 100L, 53456789L, 1)))
     val back = BtrManifest.fromJson(BtrManifest.toJson(m))
     assert(back == m)
     assert(back.ratio == 4.0)
+    // pre-bucketStats manifests stay parseable
+    val legacy = BtrManifest.fromJson(BtrManifest.toJson(m.copy(bucketStats = Nil)))
+    assert(legacy.bucketStats.isEmpty && legacy.numRows == m.numRows)
   }
 }

@@ -268,6 +268,46 @@ class BtrSourceSpec extends AnyFunSuite {
     assert(skippedS > 20, s"string zones must skip most of the 32 chunks: $skippedS")
   }
 
+  test("DSv2 write: df.write.format(btr) round-trips; rangeCols clusters via Spark's exchange") {
+    import spark.implicits._
+    val dir = tmp("dsv2write")
+    val df = (0 until 8192).map(i => (i, s"name_${i % 13}", i * 0.5)).toDF("id", "name", "score")
+      .repartition(5)
+    df.write.format("btr").mode("overwrite")
+      .option("rangeCols", "id").option("blockSize", "256")
+      .save(dir)
+    val m = graft.engine.BtrTable.readManifest(spark, dir)
+    assert(m.numRows == 8192)
+    assert(m.encBytes < m.rawBytes)
+    val back = spark.read.format("btr").load(dir)
+    assert(back.count() == 8192)
+    assert(back.except(df).count() == 0 && df.except(back).count() == 0)
+
+    // RequiresDistributionAndOrdering did the clustering: id zone maps are
+    // tight enough that a selective range skips most chunks
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(s"$dir/blocks").getFileSystem(conf)
+    val files = fs.listStatus(new Path(s"$dir/blocks"))
+      .map(_.getPath.toString).filter(_.contains("part-")).sorted
+    var skipped = 0L
+    files.foreach { f =>
+      val r = new BtrPartitionReader(f, conf, Array(0), Array(LongZonePred(0, 1000, 1099)))
+      while (r.next()) ()
+      skipped += r.chunksSkipped
+      r.close()
+    }
+    assert(skipped > 20, s"range-clustered write must give skippable zones: $skipped")
+
+    // append is refused with a clear message; overwrite replaces
+    val e = intercept[Exception] {
+      df.limit(10).write.format("btr").mode("append").save(dir)
+    }
+    assert(e.getMessage != null)
+    df.limit(100).write.format("btr").mode("overwrite").option("blockSize", "64").save(dir)
+    assert(spark.read.format("btr").load(dir).count() == 100)
+  }
+
   test("range-partitioned blocks write") {
     import spark.implicits._
     val dir = tmp("range")
