@@ -373,10 +373,27 @@ object Queries {
       col("doc_id"),
       TextOps.languageId(col("text")).as("lang_pred"))
 
-  private def textFingerprint(s: SparkSession, dir: String): DataFrame =
-    docsWithId(s, dir).select(
-      col("doc_id"),
-      TextOps.fingerprint(col("text")).as("fp_rolling"))
+  /** Rolling-hash fingerprint gate. The 64-bit mix is not cheaply
+    * DuckDB-expressible (BIGINT multiply overflows instead of wrapping),
+    * so the driver checks the operator's defining PROPERTIES on planted
+    * data instead of raw values: identical text under a different id (and
+    * computed in a different task) fingerprints identically, different
+    * text differently. Exact fingerprint values are pinned in OpsSpec.
+    */
+  private def textFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val fps = withPlantedExact(docsWithId(s, dir))
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+    val orig = fps.filter(col("doc_id") < 20)
+    val copies = fps.filter(col("doc_id") >= 1000000L)
+      .select((col("doc_id") - 1000000L).as("doc_id"), col("fp").as("fp_copy"))
+    val next = fps.filter(col("doc_id") < 20)
+      .select(pmod(col("doc_id") + 19, lit(20)).as("doc_id"), col("fp").as("fp_next"))
+    orig.join(copies, "doc_id").join(next, "doc_id")
+      .select(
+        col("doc_id"),
+        (col("fp") === col("fp_copy")).as("fp_stable"),
+        (col("fp") =!= col("fp_next")).as("fp_distinct"))
+  }
 
   private def textMd5(s: SparkSession, dir: String): DataFrame =
     docsWithId(s, dir).select(col("doc_id"), md5(col("text")).as("fp_md5"))
@@ -609,6 +626,9 @@ object Queries {
         "FROM documents)"),
     "text_md5" ->
       "SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS fp_md5 FROM documents",
+    "text_fingerprint" ->
+      ("SELECT CAST(doc_id AS BIGINT) AS doc_id, true AS fp_stable, true AS fp_distinct " +
+        "FROM documents WHERE doc_id < 20"),
     "dedup_exact" ->
       ("SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, COUNT(*) AS n_dupes FROM " +
         "(SELECT doc_id, text FROM documents UNION ALL " +
