@@ -12,12 +12,19 @@ package graft.codec
   * @param blockSize tuples per chunk (the compression unit)
   * @param sampleRuns number of sample runs the greedy selector draws
   * @param sampleRunLen values per sample run
+  * @param maxChunkBytes byte budget per chunk on top of the row count: a
+  *        chunk also closes once its buffered string bytes reach this, so
+  *        task memory stays bounded for arbitrarily wide rows (a 100 TB
+  *        crawl corpus has multi-MB documents; 65536 of them would
+  *        otherwise buffer gigabytes per task). Our extension — the
+  *        reference's fixed row-count chunks have no such guard.
   */
 final case class BtrConfig(
     maxCascadeDepth: Int = 3,
     blockSize: Int = 65536,
     sampleRuns: Int = 8,
-    sampleRunLen: Int = 128)
+    sampleRunLen: Int = 128,
+    maxChunkBytes: Long = 128L << 20)
 
 object BtrConfig {
   val default: BtrConfig = BtrConfig()

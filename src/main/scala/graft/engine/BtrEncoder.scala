@@ -58,6 +58,7 @@ object BtrEncoder {
     private val dblBuf = new Array[Array[Double]](nCols)
     private val strBuf = new Array[graft.codec.StrSlicesBuilder](nCols)
     private var n = 0
+    private var strBytes = 0L
     locally {
       var c = 0
       while (c < nCols) {
@@ -73,7 +74,10 @@ object BtrEncoder {
 
     def size: Int = n
     def isEmpty: Boolean = n == 0
-    def isFull: Boolean = n >= cfg.blockSize
+    /** Full at blockSize rows OR at the byte budget — bounded task memory
+      * even for multi-MB rows (maxChunkBytes, see BtrConfig).
+      */
+    def isFull: Boolean = n >= cfg.blockSize || (n > 0 && strBytes >= cfg.maxChunkBytes)
 
     def add(row: InternalRow): Unit = {
       var c = 0
@@ -93,6 +97,7 @@ object BtrEncoder {
             val at = b.reserve(nb)
             u.writeToMemory(b.buffer, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + at)
             b.commit(nb)
+            strBytes += nb
         }
         c += 1
       }
@@ -123,6 +128,7 @@ object BtrEncoder {
         k += 1
       }
       n = 0
+      strBytes = 0L
       parts
     }
   }

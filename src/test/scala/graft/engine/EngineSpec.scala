@@ -137,6 +137,23 @@ class EngineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unsupported"))
   }
 
+  test("byte budget closes chunks early for wide rows (bounded task memory)") {
+    import spark.implicits._
+    val dir = tmpDir("widerow")
+    // 100 x 100 KB rows, 1 MB chunk budget -> ~10 rows per chunk even
+    // though blockSize allows 65536
+    val df = (0 until 100).map(i => (i, ("x" * 99990) + f"$i%05d")).toDF("id", "s")
+      .repartition(1)
+    val wide = BtrConfig(blockSize = 65536, maxChunkBytes = 1L << 20)
+    BtrTable.write(df, dir, wide)
+    val nChunks = BtrTable.parts(spark, dir)
+      .filter(col("colIdx") === 0).count()
+    assert(nChunks >= 8, s"1MB budget must split 10MB of rows into many chunks: $nChunks")
+    val back = BtrTable.load(spark, dir)
+    assert(back.count() == 100)
+    assert(back.except(df).count() == 0 && df.except(back).count() == 0)
+  }
+
   test("manifest json round-trips") {
     import graft.format._
     val m = BtrManifest(
