@@ -160,9 +160,10 @@ object BtrEncoder {
     def chunkKey(ci: Int): Array[Byte] = chunkKeys(ci)
 
     /** Order-preserving binary encoding: unsigned-lexicographic compare of
-      * the result matches (k0, k1, …) tuple order — strings by UTF-8 bytes
-      * (Spark's binary collation) with a 0x00 terminator, ints sign-flipped
-      * big-endian, doubles IEEE-754 total-order bits.
+      * the result matches (k0, k1, …) tuple order — ints sign-flipped
+      * big-endian, doubles IEEE-754 total-order bits, strings memcomparable
+      * (0x00 bytes escaped as 0x00 0xFF, terminated by 0x00 0x01, so a key
+      * containing NULs still sorts in Spark's binary-collation order).
       */
     private def captureKey(row: InternalRow): Array[Byte] = {
       val out = new java.io.ByteArrayOutputStream(32)
@@ -179,8 +180,14 @@ object BtrEncoder {
             var s = 56
             while (s >= 0) { out.write((v >>> s).toInt); s -= 8 }
           case ColType.String =>
-            out.write(row.getUTF8String(c).getBytes)
-            out.write(0)
+            val bytes = row.getUTF8String(c).getBytes
+            var i = 0
+            while (i < bytes.length) {
+              out.write(bytes(i))
+              if (bytes(i) == 0) out.write(0xFF)
+              i += 1
+            }
+            out.write(0); out.write(1)
         }
         k += 1
       }

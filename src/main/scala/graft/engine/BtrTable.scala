@@ -100,6 +100,24 @@ object BtrTable {
     // self-corrects with no re-scan of written parts
     var statsByBucket: Map[Int, BucketStat] =
       prev.map(_.bucketStats.map(s => s.bucket -> s).toMap).getOrElse(Map.empty)
+    // manifests from before per-bucket lineage existed have completed
+    // buckets with no stat entry; derive those (once) from the written
+    // parts so resumed totals never undercount
+    val unstated = done.filterNot(statsByBucket.contains)
+    if (unstated.nonEmpty) {
+      val legacy = spark.read.parquet(s"$dir/parts")
+        .filter(col("bucket").isin(unstated.toSeq: _*))
+        .groupBy(col("bucket"))
+        .agg(
+          sum("rawBytes").as("raw"), sum("encBytes").as("enc"),
+          sum(when(col("colIdx") === 0, col("numRows")).otherwise(0L)).as("rows"),
+          sum(when(col("colIdx") === 0 && col("chunkIdx") === 0, 1L).otherwise(0L)).as("nparts"))
+        .collect()
+      legacy.foreach { r =>
+        val b = r.getInt(0)
+        statsByBucket += b -> BucketStat(b, r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      }
+    }
     def totalsOf(c: Seq[Int]): (Long, Long, Long, Long) =
       c.flatMap(statsByBucket.get).foldLeft((0L, 0L, 0L, 0L)) { (t, s) =>
         (t._1 + s.rawBytes, t._2 + s.encBytes, t._3 + s.numRows, t._4 + s.numPartitions)

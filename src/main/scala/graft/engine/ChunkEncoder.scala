@@ -79,12 +79,25 @@ object ChunkEncoder {
     }
     val (minS, maxS) =
       if (len > 0 && s.len(mn) <= 64 && s.len(mx) <= 64)
-        (Some(new String(s.copy(mn), UTF_8)), Some(new String(s.copy(mx), UTF_8)))
+        (utf8Faithful(s.copy(mn)), utf8Faithful(s.copy(mx)))
       else (None, None)
     CompressedPart(
       partitionId, chunkIdx, firstRow, len, colIdx, colName, ColType.String,
       StringCodec.describeBlock(bytes), raw, bytes.length, bytes,
-      None, None, None, None, minS, maxS)
+      None, None, None, None,
+      if (maxS.isDefined) minS else None, maxS)
+  }
+
+  /** Zone extrema travel as java Strings (parquet/manifest-friendly), but
+    * UTF8String values need not be valid UTF-8 — a lossy transcode
+    * (invalid sequences → U+FFFD) would store a zone that no longer bounds
+    * the column and silently skip matching chunks. Keep the zone only when
+    * the bytes round-trip exactly; drop it (conservative: never skip)
+    * otherwise.
+    */
+  private def utf8Faithful(b: Array[Byte]): Option[String] = {
+    val s = new String(b, UTF_8)
+    if (java.util.Arrays.equals(s.getBytes(UTF_8), b)) Some(s) else None
   }
 
   def encodeString(
@@ -108,11 +121,12 @@ object ChunkEncoder {
     }
     val (minS, maxS) =
       if (len > 0 && mn.length <= 64 && mx.length <= 64)
-        (Some(new String(mn, UTF_8)), Some(new String(mx, UTF_8)))
+        (utf8Faithful(mn), utf8Faithful(mx))
       else (None, None)
     CompressedPart(
       partitionId, chunkIdx, firstRow, len, colIdx, colName, ColType.String,
       StringCodec.describeBlock(bytes), raw, bytes.length, bytes,
-      None, None, None, None, minS, maxS)
+      None, None, None, None,
+      if (maxS.isDefined) minS else None, maxS)
   }
 }

@@ -99,6 +99,10 @@ object StrOp { val GT = 0; val GTE = 1; val LT = 2; val LTE = 3; val EQ = 4 }
   * compare agree).
   */
 case class StringZonePred(colIdx: Int, op: Int, v: Array[Byte]) extends ZonePred {
+  // default case-class toString would print the array's identity hash —
+  // nondeterministic plan text; render the comparand itself
+  override def toString: String =
+    s"StringZonePred($colIdx,$op,${new String(v, java.nio.charset.StandardCharsets.UTF_8)})"
   def skip(mn: Array[Byte], mx: Array[Byte]): Boolean = {
     def cmp(a: Array[Byte], b: Array[Byte]) = java.util.Arrays.compareUnsigned(a, b)
     op match {

@@ -43,7 +43,9 @@ class BtrWriteBuilder(dir: String, info: LogicalWriteInfo)
       blockSize = Option(info.options.get("blocksize")).map(_.toInt)
         .getOrElse(BtrConfig.default.blockSize),
       maxCascadeDepth = Option(info.options.get("maxcascadedepth")).map(_.toInt)
-        .getOrElse(BtrConfig.default.maxCascadeDepth))
+        .getOrElse(BtrConfig.default.maxCascadeDepth),
+      maxChunkBytes = Option(info.options.get("maxchunkbytes")).map(_.toLong)
+        .getOrElse(BtrConfig.default.maxChunkBytes))
     new BtrWrite(dir, info.schema(), colTypes, cfg, rangeCols, doTruncate)
   }
 }
@@ -82,6 +84,10 @@ class BtrWrite(
     } else {
       require(!fs.exists(new Path(dir, BtrTable.ManifestFile)),
         s"btr table at $dir already exists — use mode(\"overwrite\") (append is not supported)")
+      // no manifest => no committed table; a crashed earlier job may still
+      // have left part files whose rename-if-absent commit would beat this
+      // job's writers and serve ITS data under OUR manifest — clear them
+      if (fs.exists(blocks)) fs.delete(blocks, true)
     }
     fs.mkdirs(blocks)
     BtrWriterFactory(ConfShim.broadcast(spark.sparkContext), s"$dir/blocks", schema, colTypes, cfg)
