@@ -2,7 +2,7 @@ package graft.engine
 
 import graft.codec.BtrConfig
 import graft.format.{BtrManifest, BucketStat, ColumnMeta, CompressedPart}
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.hadoop.fs.Path
 
@@ -218,15 +218,56 @@ object BtrTable {
       pruneCol: String,
       lo: Long,
       hi: Long,
-      columns: Seq[String] = Nil): DataFrame = {
+      columns: Seq[String] = Nil): DataFrame =
+    loadPrunedImpl(spark, dir, pruneCol, graft.codec.ColType.Integer, "an INT",
+      "minLong", "maxLong", lit(lo), lit(hi), columns)
+
+  /** Zone-map pruned load over a DOUBLE column (inclusive [lo, hi]).
+    * Chunks containing NaN carry no zone and are conservatively kept.
+    */
+  def loadPrunedDouble(
+      spark: SparkSession,
+      dir: String,
+      pruneCol: String,
+      lo: Double,
+      hi: Double,
+      columns: Seq[String] = Nil): DataFrame =
+    loadPrunedImpl(spark, dir, pruneCol, graft.codec.ColType.Double, "a DOUBLE",
+      "minDouble", "maxDouble", lit(lo), lit(hi), columns)
+
+  /** Zone-map pruned load over a STRING column (inclusive [lo, hi] in
+    * binary-collation order). Chunks whose extrema exceed 64 bytes or are
+    * not faithful UTF-8 carry no zone and are conservatively kept.
+    */
+  def loadPrunedString(
+      spark: SparkSession,
+      dir: String,
+      pruneCol: String,
+      lo: String,
+      hi: String,
+      columns: Seq[String] = Nil): DataFrame =
+    loadPrunedImpl(spark, dir, pruneCol, graft.codec.ColType.String, "a STRING",
+      "minStr", "maxStr", lit(lo), lit(hi), columns)
+
+  private def loadPrunedImpl(
+      spark: SparkSession,
+      dir: String,
+      pruneCol: String,
+      expectType: Byte,
+      typeName: String,
+      minColName: String,
+      maxColName: String,
+      lo: Column,
+      hi: Column,
+      columns: Seq[String]): DataFrame = {
     import spark.implicits._
     val manifest = readManifest(spark, dir)
-    // validate up front: a misspelled or non-integer pruneCol must throw,
+    // validate up front: a misspelled or wrongly-typed pruneCol must throw,
     // not silently prune everything (its zone-map columns would be null)
     val pruneMeta = manifest.columns.find(_.name == pruneCol).getOrElse(
       throw new IllegalArgumentException(s"no column '$pruneCol' in $dir"))
-    require(pruneMeta.colType == graft.codec.ColType.Integer,
-      s"zone-map range pruning needs an INT column; '$pruneCol' is type ${pruneMeta.colType}")
+    require(pruneMeta.colType == expectType,
+      s"this zone-map range pruning overload needs $typeName column; '$pruneCol' is type ${pruneMeta.colType}")
     // same projection validation as load(): unknown names throw
     val byName = manifest.columns.map(c => c.name -> c).toMap
     val selected =
@@ -241,8 +282,8 @@ object BtrTable {
     // tight. A chunk with a null zone map is conservatively kept.
     val ranges = allParts
       .filter(col("colName") === pruneCol &&
-        (col("minLong").isNull || col("maxLong").isNull ||
-          !(col("maxLong") < lo || col("minLong") > hi)))
+        (col(minColName).isNull || col(maxColName).isNull ||
+          !(col(maxColName) < lo || col(minColName) > hi)))
       .groupBy(col("partitionId"))
       .agg(min(col("chunkIdx")).as("c0"), max(col("chunkIdx")).as("c1"))
       .as[(Int, Int, Int)]

@@ -88,6 +88,25 @@ class EngineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { BtrTable.loadPruned(spark, dir, "row_id", 0, 1, columns = Seq("nope")) }
   }
 
+  test("loadPrunedDouble / loadPrunedString: typed zone pruning") {
+    import spark.implicits._
+    val dir = tmpDir("zprune_typed")
+    val df = (0 until 3000).map(i => (i, f"k$i%05d", i * 0.5)).toDF("id", "s", "d")
+    BtrTable.write(df, dir, cfg, rangeCols = Seq("id"))
+
+    val pd = BtrTable.loadPrunedDouble(spark, dir, "d", 500.0, 549.5)
+    assert(pd.filter(col("d").between(500.0, 549.5)).count() == 100)
+    assert(pd.count() < 3000, "double zones must skip chunks")
+
+    val ps = BtrTable.loadPrunedString(spark, dir, "s", "k01000", "k01099")
+    assert(ps.filter(col("s").between("k01000", "k01099")).count() == 100)
+    assert(ps.count() < 3000, "string zones must skip chunks")
+
+    // wrong-type validation for the typed overloads too
+    intercept[IllegalArgumentException] { BtrTable.loadPrunedDouble(spark, dir, "id", 0, 1) }
+    intercept[IllegalArgumentException] { BtrTable.loadPrunedString(spark, dir, "d", "a", "b") }
+  }
+
   test("resumable write: restart after partial completion finishes the table") {
     val dir = tmpDir("resume")
     val src = sourceDf
