@@ -79,6 +79,48 @@ object StreamingOps {
       col("max_value"))
   }
 
+  /** Stream-ingest into the btr format: each micro-batch encodes into its
+    * own `dir/batch=<id>` btr table. Idempotent by construction — after a
+    * restart the checkpointed source replays the last batch, which finds
+    * its manifest (written LAST, so its presence proves a complete
+    * encode) and skips: exactly-once btr output on an at-least-once
+    * replay. The complement of the reference's batch-only ingest — a
+    * training-data firehose lands directly in compressed columnar form.
+    */
+  def streamToBtr(
+      stream: DataFrame,
+      dir: String,
+      checkpointDir: String,
+      cfg: graft.codec.BtrConfig = graft.codec.BtrConfig.default)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val out = s"$dir/batch=$id"
+        val spark = batch.sparkSession
+        val done =
+          try { graft.engine.BtrTable.readManifest(spark, out); true }
+          catch { case _: Exception => false }
+        if (!done) graft.engine.BtrTable.write(batch.toDF(), out, cfg)
+        ()
+      }
+      .start()
+
+  /** Read every completed micro-batch of a streamToBtr directory as one
+    * DataFrame (batches without a manifest — in-flight or crashed — are
+    * invisible, never half-read).
+    */
+  def loadStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batches = fs.listStatus(p).map(_.getPath)
+      .filter(_.getName.startsWith("batch="))
+      .filter(b => fs.exists(new org.apache.hadoop.fs.Path(b, graft.engine.BtrTable.ManifestFile)))
+      .map(_.toString).sorted
+    require(batches.nonEmpty, s"no completed btr batches under $dir")
+    batches.map(b => graft.engine.BtrTable.load(spark, b)).reduce(_ unionAll _)
+  }
+
   /** Sessionization per user with a 30-minute gap rule, as a pure window-
     * function plan: lag over (user_id, ts) + conditional sum. Unlike a
     * mapGroups that materializes every event of a user in task memory (a

@@ -154,6 +154,40 @@ class OpsSpec extends AnyFunSuite {
     assert(ivfRecall >= 0.6, s"IVF nProbe=4/8 recall floor: $ivfRecall")
   }
 
+  test("streamToBtr: micro-batches land as idempotent btr tables") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = {
+      val p = java.nio.file.Paths.get("target", "tmp", "ops_stream_btr")
+      def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
+      if (p.toFile.exists()) rm(p.toFile)
+      "file:" + p.toAbsolutePath
+    }
+    val mem = MemoryStream[(Int, String)]
+    val q = StreamingOps.streamToBtr(
+      mem.toDF().toDF("id", "s"), s"$base/btr", s"$base/ckpt")
+    try {
+      mem.addData((1, "a"), (2, "bb"))
+      q.processAllAvailable()
+      mem.addData((3, "ccc"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = StreamingOps.loadStreamed(spark, s"$base/btr")
+    assert(back.count() == 3)
+    assert(back.orderBy("id").as[(Int, String)].collect().toSeq ==
+      Seq((1, "a"), (2, "bb"), (3, "ccc")))
+    // a replayed batch (restart semantics) sees its manifest and skips:
+    // manifest mtime unchanged after re-running the stream over the same
+    // checkpoint (no new data, and batch dirs are idempotent)
+    val m0 = s"$base/btr/batch=0/${graft.engine.BtrTable.ManifestFile}".stripPrefix("file:")
+    val mtime = java.nio.file.Files.getLastModifiedTime(java.nio.file.Paths.get(m0))
+    val q2 = StreamingOps.streamToBtr(
+      mem.toDF().toDF("id", "s"), s"$base/btr", s"$base/ckpt")
+    try q2.processAllAvailable() finally q2.stop()
+    assert(java.nio.file.Files.getLastModifiedTime(java.nio.file.Paths.get(m0)) == mtime)
+    assert(StreamingOps.loadStreamed(spark, s"$base/btr").count() == 3)
+  }
+
   test("bruteForceTopK matches naive exact computation") {
     val rnd = new scala.util.Random(11)
     val corpus = (1L to 200L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
