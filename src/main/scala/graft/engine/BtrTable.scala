@@ -24,12 +24,31 @@ object BtrTable {
 
   // ------------------------------------------------------------- manifest io
 
+  /** Atomic manifest publish: write to a dot-temp name, then rename over.
+    * A plain create-then-write leaves the manifest VISIBLE as an empty
+    * file between create and close — and the minimal JSON parser is total
+    * (empty input parses to an empty manifest), so readers/idempotency
+    * gates would mistake a crash in that window for a complete table.
+    */
   def writeManifest(spark: SparkSession, dir: String, m: BtrManifest): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
     val path = new Path(dir, ManifestFile)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(path, true)
+    val tmp = new Path(dir, s".$ManifestFile.tmp")
+    val fs = path.getFileSystem(conf)
+    val out = fs.create(tmp, true)
     try out.write(BtrManifest.toJson(m).getBytes("UTF-8"))
     finally out.close()
+    val renamed =
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(path.toUri, conf)
+        fc.rename(tmp, path, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          if (fs.exists(path)) fs.delete(path, false)
+          fs.rename(tmp, path)
+      }
+    if (!renamed) sys.error(s"could not publish manifest $tmp -> $path")
   }
 
   def readManifest(spark: SparkSession, dir: String): BtrManifest = {

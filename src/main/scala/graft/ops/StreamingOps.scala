@@ -98,9 +98,14 @@ object StreamingOps {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         val out = s"$dir/batch=$id"
         val spark = batch.sparkSession
+        // done = a VALID manifest exists. Manifest publish is an atomic
+        // rename (BtrTable.writeManifest) and the columns check rejects a
+        // degenerate parse; only manifest-ABSENT counts as not-done — any
+        // other read failure (throttling, network) must propagate rather
+        // than trigger a destructive re-encode under a live manifest.
         val done =
-          try { graft.engine.BtrTable.readManifest(spark, out); true }
-          catch { case _: Exception => false }
+          try graft.engine.BtrTable.readManifest(spark, out).columns.nonEmpty
+          catch { case _: java.io.FileNotFoundException => false }
         if (!done) graft.engine.BtrTable.write(batch.toDF(), out, cfg)
         ()
       }
@@ -108,17 +113,36 @@ object StreamingOps {
 
   /** Read every completed micro-batch of a streamToBtr directory as one
     * DataFrame (batches without a manifest — in-flight or crashed — are
-    * invisible, never half-read).
+    * invisible, never half-read; manifest publish is atomic).
+    *
+    * Scales to many batches: ONE glob for the manifests, ONE manifest
+    * read for the shared schema, the parts scans unioned as a BALANCED
+    * tree (a left-deep 10^4-way union chokes Catalyst analysis), batch
+    * partition ids remapped to disjoint ranges, and a single decode pass
+    * over all parts — not one job per batch.
     */
   def loadStreamed(spark: SparkSession, dir: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val batches = fs.listStatus(p).map(_.getPath)
-      .filter(_.getName.startsWith("batch="))
-      .filter(b => fs.exists(new org.apache.hadoop.fs.Path(b, graft.engine.BtrTable.ManifestFile)))
-      .map(_.toString).sorted
-    require(batches.nonEmpty, s"no completed btr batches under $dir")
-    batches.map(b => graft.engine.BtrTable.load(spark, b)).reduce(_ unionAll _)
+    import org.apache.hadoop.fs.Path
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifests = fs.globStatus(new Path(base, "batch=*/" + graft.engine.BtrTable.ManifestFile))
+    require(manifests != null && manifests.nonEmpty, s"no completed btr batches under $dir")
+    val dirs = manifests.map(_.getPath.getParent.toString).sorted
+    val columns = graft.engine.BtrTable.readManifest(spark, dirs.head).columns
+    require(columns.nonEmpty, s"empty manifest under ${dirs.head}")
+    val n = dirs.length
+    // decode groups chunks by (partitionId, chunkIdx); every batch numbers
+    // its partitions from 0, so spread them into disjoint id ranges
+    val partScans = dirs.zipWithIndex.map { case (d, i) =>
+      spark.read.parquet(s"$d/parts")
+        .withColumn("partitionId", col("partitionId") * n + i)
+    }
+    def balanced(xs: Seq[DataFrame]): DataFrame =
+      if (xs.lengthCompare(1) == 0) xs.head
+      else balanced(xs.grouped(2).map(_.reduce(_ unionByName _)).toSeq)
+    import spark.implicits._
+    graft.engine.BtrDecoder.decode(
+      balanced(partScans).as[graft.format.CompressedPart], columns)
   }
 
   /** Sessionization per user with a 30-minute gap rule, as a pure window-
