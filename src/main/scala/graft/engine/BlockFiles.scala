@@ -188,17 +188,12 @@ object BlockFiles {
 
   /** Map-side encode + compressed range exchange (see write() doc).
     *
-    * Each chunk travels as ONE frame keyed by an order-preserving binary
-    * encoding of its first row's `rangeCols` values plus a per-chunk
-    * round-robin salt byte (a hot key's chunks spread over 16 writers
-    * instead of serializing one). Range bounds are sampled from a CHEAP
-    * scan of just the key columns (columnar pruning reads a few % of the
-    * input) — NOT from the frames themselves: `repartitionByRange`'s
-    * bound-sampling job iterates every child row, which would re-run the
-    * whole map-side encode a second time (or force persisting every
-    * frame). With explicit bounds the frames stream straight from the
-    * encoder into the shuffle, exactly once, and the reduce side is pure
-    * sequential concatenation — no re-encode, no extra materialization.
+    * Each chunk travels as ONE frame row keyed by an order-preserving
+    * binary encoding of its first row's `rangeCols` values; the exchange is
+    * repartitionByRange on that key plus a per-chunk round-robin salt (a
+    * hot key's chunks spread over 16 writers instead of serializing one).
+    * The writer task just concatenates the frames it receives — no
+    * re-encode, so the reduce side is pure sequential IO.
     */
   private def writeCompressedExchange(
       df: DataFrame,
@@ -208,6 +203,7 @@ object BlockFiles {
       n: Int,
       confB: org.apache.spark.broadcast.Broadcast[ConfShim.SerConf]): Array[(Long, Long, Long)] = {
     val spark = df.sparkSession
+    import spark.implicits._
     // local sort: clusters each input split's rows by key before chunking,
     // so map-side chunks are key-coherent (ratio and zone quality close to
     // the row exchange) without shuffling a single raw byte
@@ -219,39 +215,6 @@ object BlockFiles {
       require(i >= 0, s"range column '$c' not in schema")
       i
     }.toArray
-
-    // --- bounds job: reservoir-sample salted keys from the key columns only
-    val keyDf = df.select(rangeCols.map(col): _*)
-    val keyTypes = BtrEncoder.validateSchema(keyDf.schema)
-    val keyAll = Array.tabulate(rangeCols.length)(identity)
-    val sampled: Array[Array[Byte]] = keyDf.queryExecution.toRdd.mapPartitions { it =>
-      val pid = TaskContext.getPartitionId()
-      val rnd = new java.util.Random(0x9E3779B9L * (pid + 1)) // deterministic per partition
-      val reservoir = new Array[Array[Byte]](32)
-      var seen = 0L
-      var filled = 0
-      it.foreach { row =>
-        val key = BtrEncoder.binaryKey(row, keyAll, keyTypes) :+ (seen % 16).toByte
-        if (filled < reservoir.length) { reservoir(filled) = key; filled += 1 }
-        else {
-          val j = (rnd.nextDouble() * (seen + 1)).toLong
-          if (j < reservoir.length) reservoir(j.toInt) = key
-        }
-        seen += 1
-      }
-      reservoir.take(filled).iterator
-    }.collect()
-    java.util.Arrays.sort(sampled.asInstanceOf[Array[AnyRef]],
-      (a: AnyRef, b: AnyRef) => java.util.Arrays.compareUnsigned(
-        a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]]))
-    val bounds: Array[Array[Byte]] =
-      if (sampled.isEmpty || n <= 1) Array.empty
-      else Array.tabulate(n - 1) { i =>
-        sampled(((i + 1).toLong * sampled.length / n).toInt.min(sampled.length - 1))
-      }
-
-    // --- one fused job: encode chunks, shuffle frames by the sampled
-    // bounds, concatenate per writer partition
     val framesRdd = prepared.queryExecution.toRdd.mapPartitions { rows =>
       if (rows.isEmpty) Iterator.empty
       else {
@@ -260,22 +223,36 @@ object BlockFiles {
         enc.grouped(schema.length).zipWithIndex.map { case (chunkParts, ci) =>
           val f = frameChunk(chunkParts)
           // key captured from the chunk's FIRST row before its buffers were
-          // reused; same salt-byte scheme as the sampled bounds
-          (enc.chunkKey(ci) :+ (ci % 16).toByte, f)
+          // reused (PartitionEncodeIterator.lastChunkKey)
+          (enc.chunkKey(ci), ci % 16, f.bytes, f.rawBytes, f.encBytes, f.numRows)
         }
       }
     }
-    framesRdd
-      .partitionBy(new BinaryRangePartitioner(bounds))
-      .mapPartitions { it =>
+    // Persist the frames before the range exchange: repartitionByRange
+    // launches a SAMPLING job over its child to compute range bounds, and
+    // that job iterates every row — without the persist it would re-run
+    // the entire map-side encode a second time (~2x encode CPU, measured).
+    // What gets cached is the COMPRESSED frames (ratio× smaller than the
+    // input); with MEMORY_AND_DISK it spills to executor-local disk, the
+    // same medium the shuffle writes anyway.
+    val framesDs = spark.createDataset(framesRdd)
+      .toDF("k", "salt", "frame", "raw", "enc", "rows")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val frames = framesDs.repartitionByRange(n, col("k"), col("salt"))
+      frames.queryExecution.toRdd.mapPartitions { it =>
         if (it.isEmpty) Iterator.empty
         else {
           val tc = TaskContext.get()
+          // row layout fixed by the select above: 2=frame 3=raw 4=enc 5=rows
+          val fs = it.map { r =>
+            Frame(r.getBinary(2), r.getLong(3), r.getLong(4), r.getInt(5))
+          }
           Iterator.single(writeFrames(
-            ConfShim.conf(confB), blocksDir, tc.partitionId(), tc.taskAttemptId(),
-            it.map(_._2)))
+            ConfShim.conf(confB), blocksDir, tc.partitionId(), tc.taskAttemptId(), fs))
         }
       }.collect()
+    } finally framesDs.unpersist(blocking = false)
   }
 
   /** Encode one partition's rows and write them as one block file (the raw
@@ -334,27 +311,6 @@ object BlockFiles {
       if (fs.exists(tmpPath)) fs.delete(tmpPath, false)
     }
     (rawBytes, encBytes, numRows)
-  }
-
-  /** Range partitioner over order-preserving binary keys with EXPLICIT,
-    * pre-sampled bounds — unlike Spark's RangePartitioner it launches no
-    * sampling job over the RDD it partitions (which would recompute the
-    * upstream encode). Bounds must be sorted unsigned-lexicographically.
-    */
-  final class BinaryRangePartitioner(bounds: Array[Array[Byte]])
-    extends org.apache.spark.Partitioner {
-    override def numPartitions: Int = bounds.length + 1
-    override def getPartition(key: Any): Int = {
-      val k = key.asInstanceOf[Array[Byte]]
-      var lo = 0
-      var hi = bounds.length
-      while (lo < hi) {
-        val mid = (lo + hi) >>> 1
-        if (java.util.Arrays.compareUnsigned(bounds(mid), k) <= 0) lo = mid + 1
-        else hi = mid
-      }
-      lo
-    }
   }
 
   /** Commit via rename-if-absent: FileContext's default rename FAILS when
