@@ -173,6 +173,34 @@ class EngineSpec extends AnyFunSuite {
     assert(back.except(df).count() == 0 && df.except(back).count() == 0)
   }
 
+  test("BtrCsvView: random-access csv reads with bounded cache (S7/S8 semantics)") {
+    import spark.implicits._
+    val dir = tmpDir("csvview")
+    val df = (0 until 500).map(i => (i, s"name_$i", i * 0.5)).toDF("id", "name", "score")
+    BtrTable.write(df, dir, BtrConfig(blockSize = 64))
+
+    val full = new String(new BtrCsvView(spark, dir).readAll(), "UTF-8")
+    val lines = full.split("\n", -1)
+    assert(lines.head == "id,name,score")
+    assert(lines.last == "" && lines.length == 502, s"501 lines + trailing: ${lines.length}")
+    val expected = df.collect().map(r => s"${r.getInt(0)},${r.getString(1)},${r.getDouble(2)}").toSet
+    assert(lines.slice(1, 501).toSet == expected)
+
+    // windowed reads through a TINY cache match the full rendering,
+    // including a read span larger than the cache and a backward seek
+    val view = new BtrCsvView(spark, dir, cacheLimit = 512)
+    for ((off, len) <- Seq((0, 40), (1000, 313), (full.length - 25, 100),
+      (2000, 2048), (37, 1))) {
+      val got = new String(view.read(off.toLong, len), "UTF-8")
+      val want = full.substring(math.min(off, full.length),
+        math.min(off + len, full.length))
+      assert(got == want, s"read($off,$len)")
+    }
+    assert(new String(view.read(0, 20), "UTF-8") == full.take(20), "backward seek re-inits")
+    assert(view.size == full.length.toLong)
+    assert(view.read(full.length + 10L, 5).isEmpty, "past-EOF read is empty")
+  }
+
   test("manifest json round-trips") {
     import graft.format._
     val m = BtrManifest(
