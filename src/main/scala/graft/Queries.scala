@@ -327,6 +327,38 @@ object Queries {
     s.read.format("btr").load(out)
   }
 
+  /** The mount-view surface (reference S7/S8 semantics): encode documents,
+    * then read the table back BYTE-WISE through BtrCsvView.read(offset,
+    * size) windows (bounded cache, spanning reads) and parse the rendering
+    * — any drift in the random-access path breaks the identity oracle.
+    */
+  private def rtCsvView(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents").select(
+      col("doc_id").cast("int").as("doc_id"), col("lang"))
+    val out = cachedBtr(s, s"rt_csv_view_${math.abs(dir.hashCode)}", docs)(
+      BtrTable.write(docs, _, BtrConfig.default))
+    val view = new graft.engine.BtrCsvView(s, out, cacheLimit = 1 << 16)
+    // windowed reads (driver-side, bounded): stitch the rendering back
+    // from fixed-size chunks rather than one readAll
+    val sb = new java.lang.StringBuilder
+    var off = 0L
+    var chunk = view.read(off, 8192)
+    while (chunk.nonEmpty) {
+      sb.append(new String(chunk, java.nio.charset.StandardCharsets.UTF_8))
+      off += chunk.length
+      chunk = view.read(off, 8192)
+    }
+    val lines = sb.toString.split("\n").toIndexedSeq
+    require(lines.head == "doc_id,lang", s"unexpected header ${lines.head}")
+    lines.drop(1).filter(_.nonEmpty)
+      .map { l =>
+        val i = l.indexOf(',')
+        (l.take(i).toInt, l.drop(i + 1))
+      }
+      .toDF("doc_id", "lang")
+  }
+
   /** Typed zone-map pushdown INTO the DSv2 source beyond ints: a string
     * equality and a double range reach the scan and skip chunks via the v3
     * frame zones (the reference pushes nothing). Oracle = plain WHERE.
@@ -513,6 +545,7 @@ object Queries {
     "rt_csv" -> (rtCsv _),
     "rt_source" -> (rtSource _),
     "rt_write_source" -> (rtWriteSource _),
+    "rt_csv_view" -> (rtCsvView _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
@@ -600,6 +633,8 @@ object Queries {
     "rt_write_source" ->
       ("SELECT CAST(doc_id AS INTEGER) AS doc_id, lang, " +
         "CAST(n_chars AS INTEGER) AS n_chars FROM documents"),
+    "rt_csv_view" ->
+      "SELECT CAST(doc_id AS INTEGER) AS doc_id, lang FROM documents",
     "rt_csv" ->
       ("SELECT CAST(doc_id AS INTEGER) AS doc_id, lang, source, " +
         "CAST(n_chars AS INTEGER) AS n_chars FROM documents"),
