@@ -18,7 +18,10 @@ import java.nio.charset.StandardCharsets.UTF_8
   *
   * Rendering is the `print-csv` text: one header line, comma-joined
   * values, '\n' terminators (btr columns are non-null by model, so no
-  * null/quoting cases arise). Row order is the deterministic decode order,
+  * null cases arise; values are NOT quoted — the byte-view contract is
+  * positional, and parse-ability is only promised for values free of
+  * ','/'\n', like the reference's plain renderer). Row order is the
+  * deterministic decode order,
   * pulled ONE Spark partition at a time via toLocalIterator — driver
   * memory stays bounded by (one partition's rows) + cache, never the
   * table.

@@ -46,7 +46,8 @@ class BtrWriteBuilder(dir: String, info: LogicalWriteInfo)
         .getOrElse(BtrConfig.default.maxCascadeDepth),
       maxChunkBytes = Option(info.options.get("maxchunkbytes")).map(_.toLong)
         .getOrElse(BtrConfig.default.maxChunkBytes))
-    new BtrWrite(dir, info.schema(), colTypes, cfg, rangeCols, doTruncate)
+    val advisory = Option(info.options.get("targetpartitionbytes")).map(_.toLong).getOrElse(0L)
+    new BtrWrite(dir, info.schema(), colTypes, cfg, rangeCols, doTruncate, advisory)
   }
 }
 
@@ -56,8 +57,16 @@ class BtrWrite(
     colTypes: Array[Int],
     cfg: BtrConfig,
     rangeCols: Seq[String],
-    truncate: Boolean)
+    truncate: Boolean,
+    advisoryBytes: Long = 0L)
   extends Write with RequiresDistributionAndOrdering with BatchWrite {
+
+  /** `targetPartitionBytes` option: lets AQE size the write partitions to
+    * a byte target (~one block file each) instead of inheriting
+    * spark.sql.shuffle.partitions — at 100 TB you want ~1 GB writers, not
+    * a fixed count.
+    */
+  override def advisoryPartitionSizeInBytes(): Long = advisoryBytes
 
   override def description(): String =
     s"BtrWrite(dir=$dir${if (rangeCols.nonEmpty) s", rangeCols=${rangeCols.mkString(",")}" else ""})"
