@@ -340,16 +340,18 @@ object Queries {
       BtrTable.write(docs, _, BtrConfig.default))
     val view = new graft.engine.BtrCsvView(s, out, cacheLimit = 1 << 16)
     // windowed reads (driver-side, bounded): stitch the rendering back
-    // from fixed-size chunks rather than one readAll
-    val sb = new java.lang.StringBuilder
+    // from fixed-size chunks rather than one readAll. Accumulate BYTES and
+    // decode once — a chunk boundary can split a multi-byte UTF-8 sequence
+    val bytes = new java.io.ByteArrayOutputStream()
     var off = 0L
     var chunk = view.read(off, 8192)
     while (chunk.nonEmpty) {
-      sb.append(new String(chunk, java.nio.charset.StandardCharsets.UTF_8))
+      bytes.write(chunk)
       off += chunk.length
       chunk = view.read(off, 8192)
     }
-    val lines = sb.toString.split("\n").toIndexedSeq
+    val lines = new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").toIndexedSeq
     require(lines.head == "doc_id,lang", s"unexpected header ${lines.head}")
     lines.drop(1).filter(_.nonEmpty)
       .map { l =>

@@ -55,20 +55,24 @@ object BtrCsv {
     BtrTable.load(spark, btrDir)
       .write.mode("overwrite").option("header", "true").csv(csvOutDir)
 
+  /** The print-csv row rendering, shared with BtrCsvView (whose byte
+    * contract promises exactly this text) so they cannot desynchronize.
+    */
+  private[engine] def renderRowCsv(row: org.apache.spark.sql.Row): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < row.length) {
+      if (i > 0) sb.append(',')
+      sb.append(row.get(i))
+      i += 1
+    }
+    sb.toString
+  }
+
   /** `print-csv` analog: decoded rows to stdout (driver-side, bounded). */
   def printCsv(spark: SparkSession, btrDir: String, limit: Int = 300000): Unit = {
     val df = BtrTable.load(spark, btrDir).limit(limit)
-    val header = df.columns.mkString(",")
-    println(header)
-    df.toLocalIterator().forEachRemaining { row =>
-      val sb = new StringBuilder
-      var i = 0
-      while (i < row.length) {
-        if (i > 0) sb.append(',')
-        sb.append(row.get(i))
-        i += 1
-      }
-      println(sb.toString)
-    }
+    println(df.columns.mkString(","))
+    df.toLocalIterator().forEachRemaining(row => println(renderRowCsv(row)))
   }
 }

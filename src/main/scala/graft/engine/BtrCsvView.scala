@@ -58,17 +58,8 @@ final class BtrCsvView(spark: SparkSession, dir: String, cacheLimit: Int = 8 << 
     emitted += bytes.length
   }
 
-  private def renderRow(row: Row): Array[Byte] = {
-    val sb = new StringBuilder
-    var i = 0
-    while (i < row.length) {
-      if (i > 0) sb.append(',')
-      sb.append(row.get(i))
-      i += 1
-    }
-    sb.append('\n')
-    sb.toString.getBytes(UTF_8)
-  }
+  private def renderRow(row: Row): Array[Byte] =
+    (BtrCsv.renderRowCsv(row) + "\n").getBytes(UTF_8)
 
   /** Drop cache bytes before `keepFrom` once the window exceeds the cache
     * limit (best-effort bound: bytes at/after `keepFrom` are always kept).
@@ -89,11 +80,13 @@ final class BtrCsvView(spark: SparkSession, dir: String, cacheLimit: Int = 8 << 
     require(offset >= 0 && len >= 0, s"bad range ($offset, $len)")
     if (it == null || offset < bufStart) resetStream() // backward seek
     val end = offset + len
+    // && short-circuits: hasNext (which can launch the next partition's
+    // collect job) is only probed while more bytes are actually needed
     while (emitted < end && it.hasNext) {
       append(renderRow(it.next()))
       evict(offset)
     }
-    if (!it.hasNext && knownSize < 0) knownSize = emitted
+    if (emitted < end && knownSize < 0) knownSize = emitted // loop ended on EOF
     val from = math.max(offset, bufStart)
     val to = math.min(end, bufStart + bufLen)
     if (to <= from) Array.emptyByteArray
@@ -115,10 +108,17 @@ final class BtrCsvView(spark: SparkSession, dir: String, cacheLimit: Int = 8 << 
     knownSize
   }
 
-  /** One-shot materialization (S7): the entire rendering as one array. */
-  def readAll(): Array[Byte] = {
-    val n = size
-    require(n <= Int.MaxValue, s"one-shot view needs the whole $n bytes in memory")
-    read(0, n.toInt)
+  /** One-shot materialization (S7): the entire rendering as one array, in
+    * a SINGLE decode pass (no eviction — unlike size() + read(0, n), which
+    * would drop the prefix during the size drain and replay the stream).
+    */
+  def readAll(): Array[Byte] = synchronized {
+    resetStream()
+    while (it.hasNext) {
+      append(renderRow(it.next()))
+      require(emitted <= Int.MaxValue, s"one-shot view needs the whole rendering in memory")
+    }
+    knownSize = emitted
+    java.util.Arrays.copyOf(buf, bufLen)
   }
 }

@@ -47,6 +47,11 @@ class BtrWriteBuilder(dir: String, info: LogicalWriteInfo)
       maxChunkBytes = Option(info.options.get("maxchunkbytes")).map(_.toLong)
         .getOrElse(BtrConfig.default.maxChunkBytes))
     val advisory = Option(info.options.get("targetpartitionbytes")).map(_.toLong).getOrElse(0L)
+    // Spark rejects an advisory size under an unspecified distribution at
+    // planning time with an opaque error — fail here with an actionable one
+    require(advisory == 0L || rangeCols.nonEmpty,
+      "targetPartitionBytes requires rangeCols (AQE sizes the range exchange; " +
+        "an unpartitioned write has no exchange to size)")
     new BtrWrite(dir, info.schema(), colTypes, cfg, rangeCols, doTruncate, advisory)
   }
 }

@@ -308,6 +308,24 @@ class BtrSourceSpec extends AnyFunSuite {
     assert(spark.read.format("btr").load(dir).count() == 100)
   }
 
+  test("targetPartitionBytes writer option: needs rangeCols, write still round-trips") {
+    import spark.implicits._
+    val dir = tmp("advisory")
+    val df = (0 until 2000).map(i => (i, s"value_$i")).toDF("id", "s")
+    val e = intercept[Exception] {
+      df.write.format("btr").mode("overwrite")
+        .option("targetPartitionBytes", "1048576").save(dir)
+    }
+    assert(String.valueOf(e.getMessage).contains("rangeCols"),
+      s"clear error expected: ${e.getMessage}")
+    df.write.format("btr").mode("overwrite")
+      .option("rangeCols", "id").option("targetPartitionBytes", "1048576")
+      .save(dir)
+    val back = spark.read.format("btr").load(dir)
+    assert(back.count() == 2000)
+    assert(back.except(df).count() == 0 && df.except(back).count() == 0)
+  }
+
   test("range-partitioned blocks write") {
     import spark.implicits._
     val dir = tmp("range")
