@@ -2,7 +2,7 @@ package graft
 
 import graft.codec.BtrConfig
 import graft.data.SourceCodeGen
-import graft.engine.BlockFiles
+import graft.engine.{BlockFiles, BuildFingerprint}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver-run per round -> BENCH_r{N}.json).
@@ -14,6 +14,21 @@ import org.apache.spark.sql.SparkSession
   * its own forked JVM: restarting a SparkContext in one JVM skews the second
   * measurement badly (observed 8x), and separate JVMs also mirror separate
   * cluster drivers.
+  *
+  * DEGRADATION PROTOCOL (round-3 fix — the driver's ~1 h budget killed the
+  * round-3 run with nothing recorded, rc 124):
+  *  - per-query timings run FIRST and are emitted immediately, so even an
+  *    encode-phase timeout leaves the full queries map on record;
+  *  - a wall-clock budget (SPARK_GRAFT_BENCH_BUDGET_SEC, default 2400 s)
+  *    gates each pass: pass k+1 starts only if the remaining budget covers
+  *    ~1.15x the previous pass; the first pass always runs;
+  *  - the result JSON line is re-printed after EVERY pass with the minima
+  *    so far — the LAST line wins in the driver's log tail, so a kill at
+  *    any point still leaves the most recent complete measurement;
+  *  - each child JVM runs under a watchdog (SPARK_GRAFT_BENCH_FORK_SEC,
+  *    default 600 s, additionally capped by the remaining budget):
+  *    `waitFor(timeout)` + destroyForcibly — one wedged or co-tenant-starved
+  *    fork costs its level one pass instead of voiding the artifact.
   *
   * Methodology (profiled; history in BENCH.md):
   *  - the range pipeline shuffles COMPRESSED frames, not raw rows: chunks
@@ -30,15 +45,17 @@ import org.apache.spark.sql.SparkSession
   *  - scan parallelism is pinned (maxPartitionBytes=16m -> 96 map tasks at
   *    every level): the default coalesced the 64 input files to exactly
   *    `defaultParallelism` splits, leaving zero straggler headroom;
-  *  - noise handling: a FIXED number of passes (default 3), each pass
-  *    forking all three levels back-to-back, taking per-level MINIMA across
-  *    passes — unconditional by design (no run-until-pass stopping rule;
-  *    co-tenant noise on this host is strictly additive, so the minimum is
-  *    a consistent estimator of the machine's true capability, and
-  *    back-to-back levels see maximally-correlated weather).
+  *  - noise handling: up to SPARK_GRAFT_BENCH_PASSES (default 3) passes,
+  *    each pass forking all three levels back-to-back, taking per-level
+  *    MINIMA across passes — no run-until-pass stopping rule (co-tenant
+  *    noise on this host is strictly additive, so the minimum is a
+  *    consistent estimator of the machine's true capability, and
+  *    back-to-back levels see maximally-correlated weather); the budget
+  *    gate only ever REDUCES the pass count.
   *
-  * Prints ONE JSON line: {"metric":"total","value":<query sec>,"unit":"sec",
-  * "queries":{...},"sf":...,"encode":{gbps_n,gbps_4n,scaling_efficiency,...}}
+  * Prints ONE JSON line (re-printed per pass, last wins):
+  * {"metric":"total","value":<query sec>,"unit":"sec","queries":{...},
+  *  "sf":...,"encode":{gbps_n,gbps_4n,scaling_efficiency,...}}
   */
 object Bench {
 
@@ -153,27 +170,50 @@ object Bench {
     "java.base/sun.security.action", "java.base/sun.util.calendar")
     .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
-  /** Fork a child JVM running `graft.Bench encode <cores> <in> <out>`.
-    * Returns (rangeSec, rawBytes, encBytes, mapsideSec, decodeSec).
+  /** Fork a child JVM running `graft.Bench encode <cores> <in> <out>` under a
+    * watchdog. Returns None (and logs why) on timeout or failure — the caller
+    * keeps its minima from other passes instead of aborting the artifact.
     */
-  private def forkEncode(cores: Int, inputDir: String, outDir: String): (Double, Long, Long, Double, Double) = {
-    val java = s"${System.getProperty("java.home")}/bin/java"
+  private def forkEncode(cores: Int, inputDir: String, outDir: String,
+      timeoutSec: Long): Option[(Double, Long, Long, Double, Double)] = {
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val cp = System.getProperty("java.class.path")
     val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")
-    val cmd = Seq(java, s"-Xmx$mem") ++ Jdk17Opens ++ Seq(
+    val cmd = Seq(javaBin, s"-Xmx$mem") ++ Jdk17Opens ++ Seq(
       "-Dspark.ui.enabled=false", "-cp", cp,
       "graft.Bench", "encode", cores.toString, inputDir, outDir)
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectErrorStream(true)
     val proc = pb.start()
-    val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
-    val code = proc.waitFor()
-    val line = out.linesIterator.find(_.startsWith("BENCH_ENCODE")).getOrElse {
-      System.err.println(out.takeRight(4000))
-      sys.error(s"child encode run failed (exit $code)")
+    // Drain the child's output on a dedicated thread: a full pipe buffer
+    // would otherwise wedge the child, and the round-3 harness blocked in
+    // readAllBytes with no timeout — the exact shape that hung the round.
+    val buf = new java.io.ByteArrayOutputStream()
+    val drain = new Thread(() => {
+      try proc.getInputStream.transferTo(buf) catch { case _: Exception => () }
+    })
+    drain.setDaemon(true)
+    drain.start()
+    val finished = proc.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+    if (!finished) {
+      proc.destroyForcibly()
+      proc.waitFor(30, java.util.concurrent.TimeUnit.SECONDS)
+      System.err.println(s"[bench] fork cores=$cores KILLED by watchdog after ${timeoutSec}s")
+      None
+    } else {
+      drain.join(10000)
+      val out = new String(buf.toByteArray, "UTF-8")
+      out.linesIterator.find(_.startsWith("BENCH_ENCODE")) match {
+        case Some(line) =>
+          System.err.println(s"[bench] fork cores=$cores -> $line")
+          val p = line.split(" ")
+          Some((p(1).toDouble, p(2).toLong, p(3).toLong, p(4).toDouble, p(5).toDouble))
+        case None =>
+          System.err.println(out.takeRight(4000))
+          System.err.println(s"[bench] fork cores=$cores FAILED (exit ${proc.exitValue()})")
+          None
+      }
     }
-    val parts = line.split(" ")
-    (parts(1).toDouble, parts(2).toLong, parts(3).toLong, parts(4).toDouble, parts(5).toDouble)
   }
 
   /** Per-level minima across passes: range/mapside/decode seconds. */
@@ -183,6 +223,7 @@ object Bench {
     var decode = Double.MaxValue
     var raw = 0L
     var enc = 0L
+    def has: Boolean = range < Double.MaxValue
     def fold(r: (Double, Long, Long, Double, Double)): Unit = {
       if (r._1 < range) { range = r._1; raw = r._2; enc = r._3 }
       mapside = math.min(mapside, r._4)
@@ -196,87 +237,140 @@ object Bench {
       return
     }
 
+    val start = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - start) / 1e9
+    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2400").toLong
+    def remaining: Double = budget - elapsed
+    val forkTimeout = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORK_SEC", "600").toLong
+
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val coresN = math.max(1, cpus / 4)
     val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "4000000").toLong
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
-    val inputDir = "file:/root/repo/target/tmp/bench_input"
+    val inputPath = "/root/repo/target/tmp/bench_input"
+    val inputDir = s"file:$inputPath"
     val base = s"file:$tmpfs/graft_bench_btr"
 
-    // phase 0: materialize the deterministic input table
-    locally {
-      val s = session(cpus)
-      // pre-split the input so the scan side has >= 4N parallel splits (a
-      // 100 TB table has thousands of files; a one-file bench input would
-      // bottleneck the shuffle map side at ~3 tasks and corrupt the scaling
-      // measurement)
-      SourceCodeGen.table(s, benchRows).toDF()
-        .selectExpr("CAST(row_id AS INT) AS row_id", "repo", "path", "commit", "lang", "content")
-        .repartition(cpus * 2)
-        .write.mode("overwrite").parquet(inputDir)
-      s.stop()
-    }
-
-    // phase 1: encode at three parallelism levels, each in a fresh JVM.
-    // Primary N->4N pair is (4N/16, 4N/4) = (2, 8) cores: both sit below
-    // this single host's memory-bandwidth wall, so it is the honest proxy
-    // for adding executors (which bring their own memory buses). The
-    // (8, 4N) pair is reported too: it is bandwidth-confounded on one box.
-    // A FIXED number of passes runs the levels back-to-back (so one pass
-    // shares its weather across levels) and per-level minima are taken
-    // unconditionally — never rerun-until-pass.
     val coresLow = math.max(1, cpus / 16)
     val low = new Level(coresLow, "low")
     val n = new Level(coresN, "n")
     val hi = new Level(cpus, "4n")
-    for (_ <- 0 until passes) {
-      low.fold(forkEncode(low.cores, inputDir, s"$base/low"))
-      n.fold(forkEncode(n.cores, inputDir, s"$base/n"))
-      hi.fold(forkEncode(hi.cores, inputDir, s"$base/4n"))
+    var queryJson = "{}"
+    var failedJson = "[]"
+    var queryTotal = 0.0
+    var passesDone = 0
+
+    // One JSON line with everything measured SO FAR; re-printed after each
+    // phase/pass — the last line in the log is always a complete result.
+    def emit(): Unit = {
+      val fLowN = coresN.toDouble / coresLow
+      val fN4N = cpus.toDouble / coresN
+      def effOf(sLow: Double, sHi: Double, f: Double) = (sLow / sHi) / f
+      val sb = new StringBuilder
+      sb ++= f"""{"metric":"total","value":$queryTotal%.3f,"unit":"sec","queries":$queryJson,"failed":$failedJson,"sf":"$sfDir""""
+      if (low.has || n.has || hi.has) {
+        val raw = Seq(n, low, hi).find(_.has).map(_.raw).getOrElse(0L)
+        val gb = raw / 1e9
+        sb ++= ""","encode":{"""
+        val fields = scala.collection.mutable.ArrayBuffer[String]()
+        fields += s""""cores_low":$coresLow,"cores_n":$coresN,"cores_4n":$cpus"""
+        if (low.has) fields += f""""gbps_low":${gb / low.range}%.4f,"gbps_mapside_low":${gb / low.mapside}%.4f,"gbps_decode_low":${gb / low.decode}%.4f,"sec_low":${low.range}%.2f"""
+        if (n.has) fields += f""""gbps_n":${gb / n.range}%.4f,"gbps_mapside_n":${gb / n.mapside}%.4f,"gbps_decode_n":${gb / n.decode}%.4f,"sec_n":${n.range}%.2f"""
+        if (hi.has) fields += f""""gbps_4n":${gb / hi.range}%.4f,"gbps_mapside_4n":${gb / hi.mapside}%.4f,"gbps_decode_4n":${gb / hi.decode}%.4f,"sec_4n":${hi.range}%.2f"""
+        if (low.has && n.has) {
+          fields += f""""scaling_efficiency":${effOf(low.range, n.range, fLowN)}%.3f"""
+          fields += f""""scaling_efficiency_mapside":${effOf(low.mapside, n.mapside, fLowN)}%.3f"""
+          fields += f""""scaling_efficiency_decode":${effOf(low.decode, n.decode, fLowN)}%.3f"""
+          fields += s""""scaling_basis":"${coresLow}->${coresN} cores, range pipeline (map-side encode + compressed-frame range exchange, tmpfs spill, per-level minima over $passesDone passes, budget ${budget}s); see BENCH.md""""
+        }
+        if (n.has && hi.has) {
+          fields += f""""scaling_efficiency_n_4n":${effOf(n.range, hi.range, fN4N)}%.3f"""
+          fields += f""""scaling_efficiency_mapside_n_4n":${effOf(n.mapside, hi.mapside, fN4N)}%.3f"""
+          fields += f""""scaling_efficiency_decode_n_4n":${effOf(n.decode, hi.decode, fN4N)}%.3f"""
+        }
+        Seq(n, low, hi).find(_.has).foreach { l =>
+          fields += f""""compression_ratio":${l.raw.toDouble / l.enc}%.3f,"input_gb":$gb%.3f"""
+        }
+        fields += f""""rows":$benchRows,"passes":$passesDone,"elapsed_sec":$elapsed%.0f"""
+        sb ++= fields.mkString(",")
+        sb ++= "}"
+      }
+      sb ++= "}"
+      println(sb.result())
+      System.out.flush()
     }
 
-    val gb = n.raw / 1e9
-    val gbpsLow = gb / low.range
-    val gbpsN = gb / n.range
-    val gbps4N = gb / hi.range
-    val fLowN = coresN.toDouble / coresLow
-    val fN4N = cpus.toDouble / coresN
-    def effOf(sLow: Double, sHi: Double, f: Double) = (sLow / sHi) / f
-    val effLow = effOf(low.range, n.range, fLowN)
-    val eff = effOf(n.range, hi.range, fN4N)
-    val effMapLow = effOf(low.mapside, n.mapside, fLowN)
-    val effMap = effOf(n.mapside, hi.mapside, fN4N)
-    val ratio = n.raw.toDouble / n.enc
-
-    // phase 2: per-query timings at 4N cores (fresh context in this JVM).
+    // phase 1 (MOVED FIRST, round-3 fix): per-query timings at 4N cores.
     // A query that throws is recorded in "failed" — not silently timed.
-    val s = session(cpus)
-    var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(s, sfDir).count() }
-      catch { case e: Throwable => failed ::= name + ": " + String.valueOf(e.getMessage).take(120) }
-      name -> (System.nanoTime() - t0) / 1e9
+    locally {
+      val s = session(cpus)
+      var failed = List.empty[String]
+      val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(s, sfDir).count() }
+        catch { case e: Throwable => failed ::= name + ": " + String.valueOf(e.getMessage).take(120) }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+      s.stop()
+      queryJson = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      failedJson = failed.reverse.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "'") + "\"").mkString("[", ",", "]")
+      queryTotal = results.map(_._2).sum
     }
-    s.stop()
+    emit()
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val failedJson = failed.reverse.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "'") + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
-    val enc =
-      f"""{"cores_n":$coresN,"gbps_n":$gbpsN%.4f,"cores_4n":$cpus,"gbps_4n":$gbps4N%.4f,""" +
-        f""""cores_low":$coresLow,"gbps_low":$gbpsLow%.4f,""" +
-        f""""scaling_efficiency":$effLow%.3f,"scaling_basis":"${coresLow}->${coresN} cores, range pipeline (map-side encode + compressed-frame range exchange, tmpfs spill, $passes unconditional passes, per-level minima); see BENCH.md",""" +
-        f""""scaling_efficiency_n_4n":$eff%.3f,""" +
-        f""""gbps_mapside_low":${gb / low.mapside}%.4f,"gbps_mapside_n":${gb / n.mapside}%.4f,"gbps_mapside_4n":${gb / hi.mapside}%.4f,""" +
-        f""""scaling_efficiency_mapside":$effMapLow%.3f,"scaling_efficiency_mapside_n_4n":$effMap%.3f,""" +
-        f""""gbps_decode_low":${gb / low.decode}%.4f,"gbps_decode_n":${gb / n.decode}%.4f,"gbps_decode_4n":${gb / hi.decode}%.4f,""" +
-        f""""scaling_efficiency_decode":${effOf(low.decode, n.decode, fLowN)}%.3f,""" +
-        f""""scaling_efficiency_decode_n_4n":${effOf(n.decode, hi.decode, fN4N)}%.3f,""" +
-        f""""compression_ratio":$ratio%.3f,""" +
-        f""""input_gb":$gb%.3f,"sec_low":${low.range}%.2f,"sec_n":${n.range}%.2f,"sec_4n":${hi.range}%.2f,"rows":$benchRows,"passes":$passes}"""
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","encode":$enc}""")
+    // phase 0: materialize the deterministic input table (cached across
+    // driver rounds, keyed on row count + build fingerprint)
+    locally {
+      val marker = new java.io.File(inputPath, "_GRAFT_GEN")
+      val stamp = s"$benchRows ${BuildFingerprint.value}"
+      val cached =
+        try marker.exists && new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == stamp
+        catch { case _: Exception => false }
+      if (!cached) {
+        val s = session(cpus)
+        // pre-split the input so the scan side has >= 4N parallel splits (a
+        // 100 TB table has thousands of files; a one-file bench input would
+        // bottleneck the shuffle map side at ~3 tasks and corrupt the scaling
+        // measurement)
+        SourceCodeGen.table(s, benchRows).toDF()
+          .selectExpr("CAST(row_id AS INT) AS row_id", "repo", "path", "commit", "lang", "content")
+          .repartition(cpus * 2)
+          .write.mode("overwrite").parquet(inputDir)
+        s.stop()
+        java.nio.file.Files.write(marker.toPath, stamp.getBytes("UTF-8"))
+      } else {
+        System.err.println(s"[bench] input cache hit ($stamp)")
+      }
+    }
+
+    // phase 2: encode at three parallelism levels, each in a fresh JVM under
+    // the watchdog. Primary N->4N pair is (4N/16, 4N/4) = (2, 8) cores: both
+    // sit below this single host's memory-bandwidth wall, so it is the honest
+    // proxy for adding executors (which bring their own memory buses). The
+    // (8, 4N) pair is reported too: it is bandwidth-confounded on one box.
+    // Passes run the levels back-to-back (so one pass shares its weather
+    // across levels) and per-level minima are taken unconditionally; the
+    // wall-clock budget only ever reduces the pass count.
+    var lastPassSec = 0.0
+    var pass = 0
+    while (pass < passes &&
+        (pass == 0 || remaining > math.max(lastPassSec * 1.15 + 60, 180))) {
+      val p0 = elapsed
+      for (lvl <- Seq(low, n, hi)) {
+        val ft = math.min(forkTimeout, math.max(120L, remaining.toLong - 30))
+        if (remaining > 150)
+          forkEncode(lvl.cores, inputDir, s"$base/${lvl.tag}", ft).foreach(lvl.fold)
+        else
+          System.err.println(s"[bench] budget exhausted (${remaining.toInt}s left), skipping cores=${lvl.cores} pass=$pass")
+      }
+      lastPassSec = elapsed - p0
+      pass += 1
+      passesDone = pass
+      emit()
+    }
+    if (pass < passes)
+      System.err.println(f"[bench] stopped after $pass/$passes passes (elapsed $elapsed%.0f s of ${budget}s budget)")
+    emit()
   }
 }

@@ -38,15 +38,30 @@ object Queries {
     * full re-encodes of the same projection were pure harness overhead).
     * The manifest is written LAST, so its presence proves a complete write;
     * its row count is checked against the input to catch a stale scratch
-    * dir from a different sf.
+    * dir from a different sf, and a build-fingerprint stamp invalidates
+    * tables written by a DIFFERENT binary — otherwise a code change to the
+    * encode/write paths would leave the correctness gates silently re-using
+    * old bytes instead of exercising the new writer (round-3 advice).
     */
   private def cachedBtr(s: SparkSession, name: String, input: DataFrame)(
       build: String => Unit): String = {
     val out = scratch(s, name)
+    val fp = graft.engine.BuildFingerprint.value
+    val stampPath = new org.apache.hadoop.fs.Path(s"$out/_build_fingerprint")
+    val fs = stampPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     val fresh =
-      try BtrTable.readManifest(s, out).numRows == input.count()
-      catch { case _: Exception => false }
-    if (!fresh) build(out)
+      try {
+        BtrTable.readManifest(s, out).numRows == input.count() && {
+          val in = fs.open(stampPath)
+          val stamp = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+          stamp == fp
+        }
+      } catch { case _: Exception => false }
+    if (!fresh) {
+      build(out)
+      val o = fs.create(stampPath, true)
+      try o.write(fp.getBytes("UTF-8")) finally o.close()
+    }
     out
   }
 

@@ -77,16 +77,22 @@ object ChunkEncoder {
       if (mx < 0 || s.sliceCompare(i, mx) > 0) mx = i
       i += 1
     }
-    val (minS, maxS) =
+    val (minS, maxS) = coherentPair(
       if (len > 0 && s.len(mn) <= 64 && s.len(mx) <= 64)
         (utf8Faithful(s.copy(mn)), utf8Faithful(s.copy(mx)))
-      else (None, None)
+      else (None, None))
     CompressedPart(
       partitionId, chunkIdx, firstRow, len, colIdx, colName, ColType.String,
       StringCodec.describeBlock(bytes), raw, bytes.length, bytes,
-      None, None, None, None,
-      if (maxS.isDefined) minS else None, maxS)
+      None, None, None, None, minS, maxS)
   }
+
+  /** A zone is a PAIR: if either extremum is unfaithful, drop both. Readers
+    * already treat a half-null zone conservatively, but persisting (None,
+    * Some(max)) was an incoherent zone (round-3 advice).
+    */
+  private def coherentPair(p: (Option[String], Option[String])): (Option[String], Option[String]) =
+    if (p._1.isEmpty || p._2.isEmpty) (None, None) else p
 
   /** Zone extrema travel as java Strings (parquet/manifest-friendly), but
     * UTF8String values need not be valid UTF-8 — a lossy transcode
@@ -119,14 +125,13 @@ object ChunkEncoder {
       if (mx == null || java.util.Arrays.compareUnsigned(v(i), mx) > 0) mx = v(i)
       i += 1
     }
-    val (minS, maxS) =
+    val (minS, maxS) = coherentPair(
       if (len > 0 && mn.length <= 64 && mx.length <= 64)
         (utf8Faithful(mn), utf8Faithful(mx))
-      else (None, None)
+      else (None, None))
     CompressedPart(
       partitionId, chunkIdx, firstRow, len, colIdx, colName, ColType.String,
       StringCodec.describeBlock(bytes), raw, bytes.length, bytes,
-      None, None, None, None,
-      if (maxS.isDefined) minS else None, maxS)
+      None, None, None, None, minS, maxS)
   }
 }

@@ -123,9 +123,14 @@ object SimilarityOps {
     import spark.implicits._
     val vecs = corpus.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
-    // deterministic training sample: lowest ids
+    // deterministic UNIFORM training sample: order by a hash of the id, not
+    // the id itself — on a real corpus ids correlate with crawl time/source,
+    // so lowest-id training would model only the oldest shard and quietly
+    // collapse recall (round-3 verdict #3). xxhash64 keeps the sample
+    // reproducible and the plan a single bounded TakeOrdered job.
     val train: Array[Array[Float]] =
-      vecs.orderBy(col(idCol).cast("long")).limit(sampleSize).collect().map(_._2)
+      vecs.orderBy(xxhash64(col(idCol).cast("long")), col(idCol).cast("long"))
+        .limit(sampleSize).collect().map(_._2)
     require(train.nonEmpty, "empty corpus")
     val dim = train(0).length
     // deterministic init: evenly spaced sample vectors
