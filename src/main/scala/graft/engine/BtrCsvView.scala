@@ -29,9 +29,11 @@ import java.nio.charset.StandardCharsets.UTF_8
 final class BtrCsvView(spark: SparkSession, dir: String, cacheLimit: Int = 8 << 20) {
   private val df = BtrTable.load(spark, dir)
   private val headerBytes = (df.columns.mkString(",") + "\n").getBytes(UTF_8)
+  // one planned Row pipeline reused by every (re-)initialized stream
+  private lazy val rowRdd = df.rdd
 
   // cache window: bytes [bufStart, bufStart + bufLen) of the rendering
-  private var it: java.util.Iterator[Row] = _
+  private var it: Iterator[Row] = _
   private var emitted = 0L // bytes rendered so far (== bufStart + bufLen)
   private var bufStart = 0L
   private var buf = new Array[Byte](math.max(cacheLimit, 1 << 16))
@@ -39,12 +41,64 @@ final class BtrCsvView(spark: SparkSession, dir: String, cacheLimit: Int = 8 << 
 
   private var knownSize = -1L
 
-  private def resetStream(): Unit = {
-    it = df.toLocalIterator()
-    emitted = 0L
-    bufStart = 0L
-    bufLen = 0
-    append(headerBytes)
+  /** Rendered byte length of each Spark partition (lazy, one distributed
+    * counting job). This is the backward-seek index: the reference's
+    * realtime fs replays from row 0 on every backward seek
+    * (/root/reference/src/mount/realtime_fs.rs:117-124); here the manifest-
+    * planned partitioning lets a seek re-enter at the right partition, so a
+    * backward read costs O(one partition), not O(table).
+    */
+  private var partLens: Array[Long] = _
+
+  private def ensureIndex(): Unit = if (partLens == null) {
+    val lens = rowRdd.mapPartitionsWithIndex { case (i, rows) =>
+      var n = 0L
+      rows.foreach(r => n += BtrCsv.renderRowCsv(r).getBytes(UTF_8).length + 1L)
+      Iterator.single((i, n))
+    }.collect()
+    partLens = new Array[Long](rowRdd.getNumPartitions)
+    lens.foreach { case (i, n) => partLens(i) = n }
+  }
+
+  /** Partition index the last backward re-init entered at (observable). */
+  var lastReplayFrom: Int = 0
+
+  /** (Re-)initialize the stream so it can serve bytes from `offset`: from
+    * the top when the header is in range, else from the partition covering
+    * `offset` (skipped partitions' tasks never pull a row, so their chunks
+    * are never decoded).
+    */
+  private def resetStream(offset: Long): Unit = {
+    if (offset <= headerBytes.length) {
+      it = {
+        val jit = df.toLocalIterator()
+        new Iterator[Row] {
+          def hasNext: Boolean = jit.hasNext
+          def next(): Row = jit.next()
+        }
+      }
+      emitted = 0L
+      bufStart = 0L
+      bufLen = 0
+      lastReplayFrom = 0
+      append(headerBytes)
+    } else {
+      ensureIndex()
+      var p = 0
+      var start = headerBytes.length.toLong
+      while (p + 1 < partLens.length && start + partLens(p) <= offset) {
+        start += partLens(p)
+        p += 1
+      }
+      val p0 = p
+      it = rowRdd.mapPartitionsWithIndex { case (i, rows) =>
+        if (i >= p0) rows else Iterator.empty
+      }.toLocalIterator
+      emitted = start
+      bufStart = start
+      bufLen = 0
+      lastReplayFrom = p0
+    }
   }
 
   private def append(bytes: Array[Byte]): Unit = {
@@ -78,7 +132,7 @@ final class BtrCsvView(spark: SparkSession, dir: String, cacheLimit: Int = 8 << 
   /** Bytes [offset, offset+len) of the CSV rendering; shorter at EOF. */
   def read(offset: Long, len: Int): Array[Byte] = synchronized {
     require(offset >= 0 && len >= 0, s"bad range ($offset, $len)")
-    if (it == null || offset < bufStart) resetStream() // backward seek
+    if (it == null || offset < bufStart) resetStream(offset) // (backward) seek
     val end = offset + len
     // && short-circuits: hasNext (which can launch the next partition's
     // collect job) is only probed while more bytes are actually needed
@@ -93,17 +147,14 @@ final class BtrCsvView(spark: SparkSession, dir: String, cacheLimit: Int = 8 << 
     else java.util.Arrays.copyOfRange(buf, (from - bufStart).toInt, (to - bufStart).toInt)
   }
 
-  /** Total rendered size (reference's optional size precompute: one full
-    * streaming pass, nothing retained beyond the cache).
+  /** Total rendered size (reference's optional size precompute) — from the
+    * per-partition byte index (one distributed counting job, no driver-side
+    * drain and nothing cached).
     */
   def size: Long = synchronized {
     if (knownSize < 0) {
-      if (it == null) resetStream()
-      while (it.hasNext) {
-        append(renderRow(it.next()))
-        evict(Long.MaxValue)
-      }
-      knownSize = emitted
+      ensureIndex()
+      knownSize = headerBytes.length + partLens.sum
     }
     knownSize
   }
@@ -113,7 +164,7 @@ final class BtrCsvView(spark: SparkSession, dir: String, cacheLimit: Int = 8 << 
     * would drop the prefix during the size drain and replay the stream).
     */
   def readAll(): Array[Byte] = synchronized {
-    resetStream()
+    resetStream(0)
     while (it.hasNext) {
       append(renderRow(it.next()))
       require(emitted <= Int.MaxValue, s"one-shot view needs the whole rendering in memory")

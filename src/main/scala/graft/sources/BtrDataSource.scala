@@ -96,23 +96,44 @@ object StrOp { val GT = 0; val GTE = 1; val LT = 2; val LTE = 3; val EQ = 4 }
 
 /** One comparison against a string column's UTF-8 byte-order zone (Spark's
   * binary collation IS unsigned UTF-8 byte order, so zone compare and row
-  * compare agree).
+  * compare agree). The comparand is held as a String — a case class with an
+  * Array[Byte] field compares by reference, so two semantically equal pushed
+  * predicates would never be equal (round-3 advice) — and re-encoded to
+  * UTF-8 bytes once per reader.
   */
-case class StringZonePred(colIdx: Int, op: Int, v: Array[Byte]) extends ZonePred {
-  // default case-class toString would print the array's identity hash —
-  // nondeterministic plan text; render the comparand itself
-  override def toString: String =
-    s"StringZonePred($colIdx,$op,${new String(v, java.nio.charset.StandardCharsets.UTF_8)})"
+case class StringZonePred(colIdx: Int, op: Int, v: String) extends ZonePred {
+  @transient private lazy val vb: Array[Byte] = v.getBytes(java.nio.charset.StandardCharsets.UTF_8)
   def skip(mn: Array[Byte], mx: Array[Byte]): Boolean = {
     def cmp(a: Array[Byte], b: Array[Byte]) = java.util.Arrays.compareUnsigned(a, b)
     op match {
-      case StrOp.GT  => cmp(mx, v) <= 0
-      case StrOp.GTE => cmp(mx, v) < 0
-      case StrOp.LT  => cmp(mn, v) >= 0
-      case StrOp.LTE => cmp(mn, v) > 0
-      case StrOp.EQ  => cmp(v, mn) < 0 || cmp(v, mx) > 0
+      case StrOp.GT  => cmp(mx, vb) <= 0
+      case StrOp.GTE => cmp(mx, vb) < 0
+      case StrOp.LT  => cmp(mn, vb) >= 0
+      case StrOp.LTE => cmp(mn, vb) > 0
+      case StrOp.EQ  => cmp(vb, mn) < 0 || cmp(vb, mx) > 0
     }
   }
+}
+
+/** IN-set zone predicates: skip a chunk when EVERY set member misses its
+  * [min, max] zone (the OR of per-value zone checks — round-3 verdict #4).
+  * An empty feasible set skips every zoned chunk: no row can match. Values
+  * are held in canonical Seq/String form so plan-level equality works.
+  */
+case class LongInZonePred(colIdx: Int, vs: Seq[Long]) extends ZonePred {
+  def skip(mn: Long, mx: Long): Boolean = vs.forall(v => v < mn || v > mx)
+}
+
+case class DoubleInZonePred(colIdx: Int, vs: Seq[Double]) extends ZonePred {
+  def skip(mn: Double, mx: Double): Boolean = vs.forall(v => v < mn || v > mx)
+}
+
+case class StringInZonePred(colIdx: Int, vs: Seq[String]) extends ZonePred {
+  @transient private lazy val bs: Array[Array[Byte]] =
+    vs.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+  def skip(mn: Array[Byte], mx: Array[Byte]): Boolean =
+    bs.forall(b => java.util.Arrays.compareUnsigned(b, mn) < 0 ||
+      java.util.Arrays.compareUnsigned(b, mx) > 0)
 }
 
 class BtrScanBuilder(dir: String, fullSchema: StructType)
@@ -124,7 +145,6 @@ class BtrScanBuilder(dir: String, fullSchema: StructType)
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
-  private var countStar = false
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // preserve file column order for the positional frame decode
@@ -181,15 +201,41 @@ class BtrScanBuilder(dir: String, fullSchema: StructType)
       colOf(a, DoubleType).map(DoubleZonePred(_, v.doubleValue, v.doubleValue))
     // ---- string columns: op-coded compare over UTF-8 byte order
     case GreaterThan(a, v: String) =>
-      colOf(a, StringType).map(StringZonePred(_, StrOp.GT, v.getBytes(UTF_8)))
+      colOf(a, StringType).map(StringZonePred(_, StrOp.GT, v))
     case GreaterThanOrEqual(a, v: String) =>
-      colOf(a, StringType).map(StringZonePred(_, StrOp.GTE, v.getBytes(UTF_8)))
+      colOf(a, StringType).map(StringZonePred(_, StrOp.GTE, v))
     case LessThan(a, v: String) =>
-      colOf(a, StringType).map(StringZonePred(_, StrOp.LT, v.getBytes(UTF_8)))
+      colOf(a, StringType).map(StringZonePred(_, StrOp.LT, v))
     case LessThanOrEqual(a, v: String) =>
-      colOf(a, StringType).map(StringZonePred(_, StrOp.LTE, v.getBytes(UTF_8)))
+      colOf(a, StringType).map(StringZonePred(_, StrOp.LTE, v))
     case EqualTo(a, v: String) =>
-      colOf(a, StringType).map(StringZonePred(_, StrOp.EQ, v.getBytes(UTF_8)))
+      colOf(a, StringType).map(StringZonePred(_, StrOp.EQ, v))
+    // ---- IN sets: skip when every member misses the zone. Columns are
+    // non-nullable, so null members can never match and drop out of the
+    // feasible set; a non-integral member can never equal an int row.
+    // Large sets keep a SOUND approximation: the [min,max] hull for
+    // numerics (never a subset — dropping members would over-skip).
+    case In(a, values) if values != null && colOf(a, IntegerType).isDefined &&
+        values.forall(v => v == null || v.isInstanceOf[Number]) =>
+      val vs = values.toSeq.collect {
+        case v: Number if lowAtLeast(v) == highAtMost(v) => lowAtLeast(v)
+      }
+      if (values.length <= 64) colOf(a, IntegerType).map(LongInZonePred(_, vs))
+      else if (vs.nonEmpty) colOf(a, IntegerType).map(LongZonePred(_, vs.min, vs.max))
+      else None
+    case In(a, values) if values != null && colOf(a, DoubleType).isDefined &&
+        values.forall(v => v == null || v.isInstanceOf[Number]) =>
+      // NaN members only match NaN rows, and NaN-containing chunks carry no
+      // zone (never skipped) — so NaN members are irrelevant to skipping
+      val vs = values.toSeq.collect { case v: Number if !v.doubleValue.isNaN => v.doubleValue }
+      if (values.length <= 64) colOf(a, DoubleType).map(DoubleInZonePred(_, vs))
+      else if (vs.nonEmpty) colOf(a, DoubleType).map(DoubleZonePred(_, vs.min, vs.max))
+      else None
+    case In(a, values) if values != null && values.length <= 64 &&
+        colOf(a, StringType).isDefined &&
+        values.forall(v => v == null || v.isInstanceOf[String]) =>
+      colOf(a, StringType).map(StringInZonePred(_,
+        values.toSeq.collect { case v: String => v }))
     case _ => None
   }
 
@@ -209,28 +255,50 @@ class BtrScanBuilder(dir: String, fullSchema: StructType)
     */
   override def pushLimit(l: Int): Boolean = { limit = l; false }
 
-  /** COUNT(*) pushdown: row counts live in the chunk frame headers, so a
-    * count never has to touch (or decode) a single column blob. Partial
-    * pushdown — the scan emits one partial count per block file and Spark
-    * sums them. Spark only offers aggregates here when every filter was
-    * fully handled at the source; zone filters are reported as unhandled,
-    * so a filtered count() automatically falls back to row decoding.
+  /** COUNT(*)/MIN/MAX pushdown: row counts live in the chunk frame headers
+    * and zone maps are EXACT chunk extrema (ChunkEncoder), so an unfiltered
+    * count/min/max never has to decode a column blob — the reader answers
+    * from headers and falls back to decoding ONLY the chunks that lack a
+    * zone (NaN chunks, >64-byte or non-UTF-8-faithful string extrema, v1/v2
+    * files). Partial pushdown — the scan emits one partial row per block
+    * file and Spark combines. Spark only offers aggregates here when every
+    * filter was fully handled at the source; zone filters are reported as
+    * unhandled, so a filtered aggregate automatically falls back to row
+    * decoding.
     */
   override def supportCompletePushDown(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = false
 
   override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    val ok = agg.groupByExpressions.isEmpty && pushed.isEmpty && limit < 0 &&
-      agg.aggregateExpressions.nonEmpty &&
-      agg.aggregateExpressions.forall(
-        _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar])
-    if (ok) countStar = true
-    ok
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    def colRef(e: org.apache.spark.sql.connector.expressions.Expression): Option[Int] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        val i = fullSchema.fieldNames.indexOf(nr.fieldNames()(0))
+        if (i >= 0) Some(i) else None
+      case _ => None
+    }
+    if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty || limit >= 0 ||
+      agg.aggregateExpressions.isEmpty) return false
+    val specs: Seq[Option[AggSpec]] = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(CountSpec)
+      case m: Min => colRef(m.column).map(MinMaxSpec(_, isMin = true))
+      case m: Max => colRef(m.column).map(MinMaxSpec(_, isMin = false))
+      case _ => None
+    }
+    if (specs.forall(_.isDefined)) { aggSpecs = specs.flatten; true } else false
   }
 
+  private var aggSpecs: Seq[AggSpec] = Nil
+
   override def build(): Scan =
-    if (countStar) new BtrCountScan(dir)
+    if (aggSpecs.nonEmpty) new BtrAggScan(dir, fullSchema, aggSpecs)
     else new BtrScan(dir, fullSchema, required, pushed.flatMap(zoneOf), limit)
 }
+
+/** One pushed aggregate over the whole table (no grouping/filter/limit). */
+sealed trait AggSpec extends Serializable
+case object CountSpec extends AggSpec
+case class MinMaxSpec(colIdx: Int, isMin: Boolean) extends AggSpec
 
 object BtrScan {
   def listBlockFiles(dir: String): Array[InputPartition] = {
@@ -277,6 +345,9 @@ class BtrScan(
 
   override def planInputPartitions(): Array[InputPartition] = BtrScan.listBlockFiles(dir)
 
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new ChunksSkippedMetric)
+
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.active
     val confB = ConfShim.broadcast(spark.sparkContext)
@@ -285,85 +356,149 @@ class BtrScan(
   }
 }
 
-/** COUNT(*) scan: one partial-count row per block file, from frame headers
-  * only — zero column blobs read or decoded.
+/** Aggregate scan (COUNT(*)/MIN/MAX, unfiltered, ungrouped): one partial
+  * row per block file. Counts come from frame headers alone; min/max come
+  * from the per-chunk zone maps where present (exact extrema) and fall back
+  * to decoding ONLY the zone-less chunks' blobs for the referenced column.
   */
-class BtrCountScan(dir: String) extends Scan with Batch {
-  private val outSchema = StructType(Seq(StructField("count", org.apache.spark.sql.types.LongType, nullable = false)))
+class BtrAggScan(dir: String, fullSchema: StructType, specs: Seq[AggSpec])
+  extends Scan with Batch {
+  private val outSchema = StructType(specs.map {
+    case CountSpec => StructField("count", org.apache.spark.sql.types.LongType, nullable = false)
+    case MinMaxSpec(c, isMin) =>
+      val f = fullSchema.fields(c)
+      StructField(s"${if (isMin) "min" else "max"}(${f.name})", f.dataType, nullable = true)
+  })
   override def readSchema(): StructType = outSchema
   override def toBatch: Batch = this
-  override def description(): String = s"BtrCountScan(dir=$dir, headers-only)"
+  override def description(): String = {
+    val what = specs.map {
+      case CountSpec => "count(*)"
+      case MinMaxSpec(c, isMin) => s"${if (isMin) "min" else "max"}(${fullSchema.fieldNames(c)})"
+    }.mkString(",")
+    s"BtrAggScan(dir=$dir, aggs=[$what], headers-only with per-chunk decode fallback)"
+  }
   override def planInputPartitions(): Array[InputPartition] = BtrScan.listBlockFiles(dir)
   override def createReaderFactory(): PartitionReaderFactory = {
     val confB = ConfShim.broadcast(SparkSession.active.sparkContext)
-    BtrCountReaderFactory(confB)
+    BtrAggReaderFactory(confB, specs)
   }
 }
 
-case class BtrCountReaderFactory(confB: org.apache.spark.broadcast.Broadcast[ConfShim.SerConf])
+case class BtrAggReaderFactory(
+    confB: org.apache.spark.broadcast.Broadcast[ConfShim.SerConf],
+    specs: Seq[AggSpec])
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new BtrCountReader(partition.asInstanceOf[BtrInputPartition].file, ConfShim.conf(confB))
+    new BtrAggReader(partition.asInstanceOf[BtrInputPartition].file, ConfShim.conf(confB), specs)
 }
 
-class BtrCountReader(file: String, conf: org.apache.hadoop.conf.Configuration)
+/** Streams one block file's frame headers, folding each pushed aggregate.
+  * Per chunk and per min/max spec: zone present → fold the exact extremum;
+  * zone absent → decode that column's blob and fold the values (Spark
+  * orderings: doubles via Double.compare — NaN greatest, -0.0 < 0.0 —
+  * strings via unsigned UTF-8 byte compare). Blobs no spec needs are never
+  * read.
+  */
+class BtrAggReader(file: String, conf: org.apache.hadoop.conf.Configuration, specs: Seq[AggSpec])
   extends PartitionReader[InternalRow] {
   private var emitted = false
-  private val row = new GenericInternalRow(1)
+  private val row = new GenericInternalRow(specs.length)
 
   override def next(): Boolean = {
     if (emitted) return false
-    val path = new Path(file)
-    val fs = path.getFileSystem(conf)
-    val fileLen = fs.getFileStatus(path).getLen
-    val in = fs.open(path)
-    var total = 0L
+    var count = 0L
+    val specArr = specs.toArray
+    // per-spec fold state (AnyRef: java.lang boxes / byte arrays; null = no
+    // value yet — surfaces as SQL NULL for an empty table)
+    val acc = new Array[AnyRef](specArr.length)
+    val fr = new FrameReader(file, conf)
     try {
-      val hdr = new Array[Byte](5)
-      in.readFully(hdr)
-      val magic = (hdr(0) & 0xff) | ((hdr(1) & 0xff) << 8) | ((hdr(2) & 0xff) << 16) | ((hdr(3) & 0xff) << 24)
-      require(magic == BlockFiles.Magic, s"not a btr block file: $file")
-      val version = hdr(4) & 0xff
-      require(version >= 1 && version <= BlockFiles.Version,
-        s"unsupported btr block version $version: $file") // a silent wrong COUNT would be the worst failure
-      var pos = 5L
-      val b4 = new Array[Byte](4)
-      def i32(): Int = {
-        in.readFully(b4); pos += 4
-        (b4(0) & 0xff) | ((b4(1) & 0xff) << 8) | ((b4(2) & 0xff) << 16) | ((b4(3) & 0xff) << 24)
-      }
-      def u8(): Int = { val b = in.read(); pos += 1; b }
-      while (pos < fileLen) {
-        total += i32() // numRows
-        val nCols = u8()
-        var blobs = 0L
-        var c = 0
-        while (c < nCols) {
-          u8() // colType
-          blobs += i32()
-          version match {
-            case 1 => ()
-            case 2 => in.seek(pos + 17); pos += 17 // hasZone + min + max
-            case _ =>
-              u8() match {
-                case 0     => ()
-                case 1 | 2 => in.seek(pos + 16); pos += 16
-                case 3 =>
-                  val ln = u8(); in.seek(pos + ln); pos += ln
-                  val lx = u8(); in.seek(pos + lx); pos += lx
-                case k => sys.error(s"bad zoneKind $k in $file")
+      while (fr.nextHeader()) {
+        count += fr.numRows
+        // which columns need a blob decode this chunk (zone missing)?
+        var s = 0
+        while (s < specArr.length) {
+          specArr(s) match {
+            case MinMaxSpec(c, isMin) if c < fr.nCols =>
+              fr.zKind(c) match {
+                case 1 => foldLong(acc, s, if (isMin) fr.zLongMin(c) else fr.zLongMax(c), isMin)
+                case 2 => foldDouble(acc, s,
+                  java.lang.Double.longBitsToDouble(if (isMin) fr.zLongMin(c) else fr.zLongMax(c)), isMin)
+                case 3 => foldBytes(acc, s, if (isMin) fr.zStrMin(c) else fr.zStrMax(c), isMin)
+                case _ => () // no zone: decoded below
               }
+            case _ => ()
           }
-          c += 1
+          s += 1
         }
-        in.seek(pos + blobs) // skip ALL column blobs
-        pos += blobs
+        // decode pass, ascending column order (FrameReader contract)
+        val needCols = specArr.indices
+          .filter(s => specArr(s) match {
+            case MinMaxSpec(c, _) => c < fr.nCols && fr.zKind(c) == 0
+            case _ => false
+          })
+          .sortBy(s => specArr(s).asInstanceOf[MinMaxSpec].colIdx)
+        var lastCol = -1
+        var blob: Array[Byte] = null
+        needCols.foreach { s =>
+          val spec = specArr(s).asInstanceOf[MinMaxSpec]
+          if (spec.colIdx != lastCol) { blob = fr.readBlob(spec.colIdx); lastCol = spec.colIdx }
+          foldDecoded(acc, s, fr.colType(spec.colIdx), blob, spec.isMin)
+        }
+        fr.finishChunk()
       }
-    } finally in.close()
-    row.update(0, total)
+    } finally fr.close()
+    var s = 0
+    while (s < specArr.length) {
+      specArr(s) match {
+        case CountSpec => row.update(s, count)
+        case _: MinMaxSpec => row.update(s, acc(s) match {
+          case null => null
+          case b: Array[Byte] => UTF8String.fromBytes(b)
+          case v => v
+        })
+      }
+      s += 1
+    }
     emitted = true
     true
   }
+
+  private def foldLong(acc: Array[AnyRef], s: Int, v: Long, isMin: Boolean): Unit = {
+    // int columns: zone longs always fit the column's Int values
+    val cur = acc(s).asInstanceOf[java.lang.Integer]
+    val vi = v.toInt
+    if (cur == null || (if (isMin) vi < cur else vi > cur)) acc(s) = Int.box(vi)
+  }
+
+  private def foldDouble(acc: Array[AnyRef], s: Int, v: Double, isMin: Boolean): Unit = {
+    val cur = acc(s).asInstanceOf[java.lang.Double]
+    val c = if (cur == null) 0 else java.lang.Double.compare(v, cur)
+    if (cur == null || (if (isMin) c < 0 else c > 0)) acc(s) = Double.box(v)
+  }
+
+  private def foldBytes(acc: Array[AnyRef], s: Int, v: Array[Byte], isMin: Boolean): Unit = {
+    val cur = acc(s).asInstanceOf[Array[Byte]]
+    val c = if (cur == null) 0 else java.util.Arrays.compareUnsigned(v, cur)
+    if (cur == null || (if (isMin) c < 0 else c > 0)) acc(s) = v
+  }
+
+  private def foldDecoded(acc: Array[AnyRef], s: Int, colType: Int, blob: Array[Byte], isMin: Boolean): Unit =
+    colType match {
+      case t if t == ColType.Integer.toInt =>
+        val a = IntCodec.decode(blob)
+        var i = 0
+        while (i < a.length) { foldLong(acc, s, a(i), isMin); i += 1 }
+      case t if t == ColType.Double.toInt =>
+        val a = DoubleCodec.decode(blob)
+        var i = 0
+        while (i < a.length) { foldDouble(acc, s, a(i), isMin); i += 1 }
+      case t if t == ColType.String.toInt =>
+        val d = StringCodec.decodeSlices(new BufReader(blob))
+        var i = 0
+        while (i < d.count) { foldBytes(acc, s, d.copy(i), isMin); i += 1 }
+    }
 
   override def get(): InternalRow = row
   override def close(): Unit = ()
@@ -405,14 +540,9 @@ final class ChunkCursor(
     requiredIdx: Array[Int],
     zones: Array[ZonePred]) {
 
-  private val path = new Path(file)
-  private val fs = path.getFileSystem(conf)
-  private val fileLen = fs.getFileStatus(path).getLen
-  private val in = fs.open(path)
-  private var pos = 0L
-  private var version = 1
+  private val fr = new FrameReader(file, conf)
 
-  /** Chunks skipped via zone maps (observable for tests/metrics). */
+  /** Chunks skipped via zone maps (observable: DSv2 CustomMetric + tests). */
   var chunksSkipped: Long = 0L
 
   /** Decoded required columns of the current chunk (Array[Int] /
@@ -420,17 +550,6 @@ final class ChunkCursor(
     */
   var decoded: Array[AnyRef] = _
   var chunkRows = 0
-
-  locally {
-    val hdr = new Array[Byte](5)
-    in.readFully(hdr)
-    val magic = (hdr(0) & 0xff) | ((hdr(1) & 0xff) << 8) | ((hdr(2) & 0xff) << 16) | ((hdr(3) & 0xff) << 24)
-    require(magic == BlockFiles.Magic, s"not a btr block file: $file")
-    version = hdr(4) & 0xff
-    require(version >= 1 && version <= BlockFiles.Version,
-      s"unsupported btr block version $version: $file")
-    pos = 5
-  }
 
   private val zonesByCol: Map[Int, Array[ZonePred]] = zones.groupBy(_.colIdx)
   // file column index -> output slot (-1 = pruned); O(1) per column instead
@@ -442,53 +561,30 @@ final class ChunkCursor(
     a
   }
 
-  private def readI32(): Int = {
-    val b = new Array[Byte](4)
-    in.readFully(b)
-    pos += 4
-    (b(0) & 0xff) | ((b(1) & 0xff) << 8) | ((b(2) & 0xff) << 16) | ((b(3) & 0xff) << 24)
-  }
-
-  private def readI64(): Long =
-    (readI32().toLong & 0xffffffffL) | (readI32().toLong << 32)
-
-  private def u8(): Int = { val b = in.read(); pos += 1; b }
-
-  /** Parse one column's zone section; true if its preds reject the chunk. */
+  /** Do column c's preds reject the current chunk, given its parsed zone? */
   private def zoneRejects(c: Int): Boolean = {
-    if (version == 1) return false
-    if (version == 2) {
-      val hasZone = u8()
-      val mn = readI64()
-      val mx = readI64()
-      return hasZone == 1 && zonesByCol.get(c).exists(_.exists {
-        case p: LongZonePred => p.skip(mn, mx)
-        case _               => false
-      })
-    }
-    u8() match {
-      case 0 => false
-      case 1 =>
-        val mn = readI64(); val mx = readI64()
-        zonesByCol.get(c).exists(_.exists {
-          case p: LongZonePred => p.skip(mn, mx)
-          case _               => false
-        })
+    val preds = zonesByCol.getOrElse(c, null)
+    if (preds == null) return false
+    fr.zKind(c) match {
+      case 1 => preds.exists {
+        case p: LongZonePred   => p.skip(fr.zLongMin(c), fr.zLongMax(c))
+        case p: LongInZonePred => p.skip(fr.zLongMin(c), fr.zLongMax(c))
+        case _                 => false
+      }
       case 2 =>
-        val mn = java.lang.Double.longBitsToDouble(readI64())
-        val mx = java.lang.Double.longBitsToDouble(readI64())
-        zonesByCol.get(c).exists(_.exists {
-          case p: DoubleZonePred => p.skip(mn, mx)
-          case _                 => false
-        })
-      case 3 =>
-        val mn = new Array[Byte](u8()); in.readFully(mn); pos += mn.length
-        val mx = new Array[Byte](u8()); in.readFully(mx); pos += mx.length
-        zonesByCol.get(c).exists(_.exists {
-          case p: StringZonePred => p.skip(mn, mx)
-          case _                 => false
-        })
-      case k => sys.error(s"bad zoneKind $k in $file")
+        val mn = java.lang.Double.longBitsToDouble(fr.zLongMin(c))
+        val mx = java.lang.Double.longBitsToDouble(fr.zLongMax(c))
+        preds.exists {
+          case p: DoubleZonePred   => p.skip(mn, mx)
+          case p: DoubleInZonePred => p.skip(mn, mx)
+          case _                   => false
+        }
+      case 3 => preds.exists {
+        case p: StringZonePred   => p.skip(fr.zStrMin(c), fr.zStrMax(c))
+        case p: StringInZonePred => p.skip(fr.zStrMin(c), fr.zStrMax(c))
+        case _                   => false
+      }
+      case _ => false
     }
   }
 
@@ -496,55 +592,56 @@ final class ChunkCursor(
     * required columns. False at end of file.
     */
   def nextChunk(): Boolean = {
-    while (pos < fileLen) {
-      chunkRows = readI32()
-      val nCols = u8()
-      val types = new Array[Int](nCols)
-      val lens = new Array[Int](nCols)
+    while (fr.nextHeader()) {
+      chunkRows = fr.numRows
       var skipChunk = false
       var c = 0
-      while (c < nCols) {
-        types(c) = u8()
-        lens(c) = readI32()
+      while (c < fr.nCols && !skipChunk) {
         if (zoneRejects(c)) skipChunk = true
         c += 1
       }
       if (skipChunk) {
-        var total = 0L
-        var k = 0
-        while (k < nCols) { total += lens(k); k += 1 }
-        in.seek(pos + total)
-        pos += total
+        fr.finishChunk()
         chunksSkipped += 1
       } else {
         decoded = new Array[AnyRef](requiredIdx.length)
         c = 0
-        while (c < nCols) {
+        while (c < fr.nCols) {
           val out = if (c < outPos.length) outPos(c) else -1
           if (out >= 0) {
-            val blob = new Array[Byte](lens(c))
-            in.readFully(blob)
-            pos += lens(c)
-            decoded(out) = types(c) match {
+            val blob = fr.readBlob(c)
+            decoded(out) = fr.colType(c) match {
               case t if t == ColType.Integer.toInt => IntCodec.decode(blob)
               case t if t == ColType.Double.toInt  => DoubleCodec.decode(blob)
               case t if t == ColType.String.toInt =>
                 StringCodec.decodeSlices(new BufReader(blob)) // arena, no per-string arrays
             }
-          } else {
-            // pruned column: skip without reading into memory
-            in.seek(pos + lens(c))
-            pos += lens(c)
           }
           c += 1
         }
+        fr.finishChunk() // pruned trailing columns: seek, never read
         return true
       }
     }
     false
   }
 
-  def close(): Unit = in.close()
+  def close(): Unit = fr.close()
+}
+
+/** DSv2 custom metric: chunks skipped via zone maps — "how much did pruning
+  * save" is an operations question at 100 TB, surfaced in the Spark UI /
+  * SQLAppStatusStore rather than only a test-only field (round-3 verdict #6).
+  */
+class ChunksSkippedMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "chunksSkipped"
+  override def description(): String = "chunks skipped via zone maps"
+}
+
+private[sources] case class ChunksSkippedTaskMetric(v: Long)
+  extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
+  override def name(): String = "chunksSkipped"
+  override def value(): Long = v
 }
 
 /** Row-at-a-time reader over the chunk cursor (kept for paths where Spark
@@ -590,6 +687,9 @@ class BtrPartitionReader(
 
   override def get(): InternalRow = row
 
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(ChunksSkippedTaskMetric(cursor.chunksSkipped))
+
   override def close(): Unit = cursor.close()
 }
 
@@ -626,6 +726,9 @@ class BtrColumnarReader(
   }
 
   override def get(): ColumnarBatch = batch
+
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(ChunksSkippedTaskMetric(cursor.chunksSkipped))
 
   override def close(): Unit = cursor.close()
 }

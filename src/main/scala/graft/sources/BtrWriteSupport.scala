@@ -79,7 +79,15 @@ class BtrWrite(
   private def orders: Array[SortOrder] =
     rangeCols.map(c => Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
 
-  /** Ask Spark for the clustering instead of hand-rolling an exchange. */
+  /** Ask Spark for the clustering instead of hand-rolling an exchange.
+    *
+    * SKEW LIMITATION: Distributions.ordered ranges on the RAW columns — a
+    * hot (repo, path) key serializes into one writer task, and AQE's skew
+    * handling does not split a single range partition for writes. The RDD
+    * path (BlockFiles.write) salts its repartitionByRange with a row-hash
+    * column for exactly this reason; route known-skewed ingests through it,
+    * or pre-compose a salt column into rangeCols here.
+    */
   override def requiredDistribution(): Distribution =
     if (rangeCols.isEmpty) Distributions.unspecified() else Distributions.ordered(orders)
 
@@ -88,35 +96,62 @@ class BtrWrite(
 
   override def toBatch: BatchWrite = this
 
+  /** Overwrite stages its block files in `.staging-blocks` and swaps them
+    * in only at commit — the OLD table stays fully readable for the whole
+    * write, and a failed overwrite JOB leaves it untouched (round-3 advice:
+    * the previous delete-first shape destroyed the old table before a
+    * single new byte landed). The residual non-atomic window is the
+    * commit-time swap itself (delete old manifest -> swap blocks -> write
+    * new manifest); a crash inside it leaves NO manifest, so readers see
+    * no table rather than a mixed one.
+    */
+  private def stagingDir = s"$dir/.staging-blocks"
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val spark = SparkSession.active
     val conf = spark.sparkContext.hadoopConfiguration
     val blocks = new Path(s"$dir/blocks")
     val fs = blocks.getFileSystem(conf)
-    if (truncate) {
-      if (fs.exists(new Path(dir))) fs.delete(new Path(dir), true)
-    } else {
-      require(!fs.exists(new Path(dir, BtrTable.ManifestFile)),
-        s"btr table at $dir already exists — use mode(\"overwrite\") (append is not supported)")
-      // no manifest => no committed table; a crashed earlier job may still
-      // have left part files whose rename-if-absent commit would beat this
-      // job's writers and serve ITS data under OUR manifest — clear them
-      if (fs.exists(blocks)) fs.delete(blocks, true)
-    }
-    fs.mkdirs(blocks)
-    BtrWriterFactory(ConfShim.broadcast(spark.sparkContext), s"$dir/blocks", schema, colTypes, cfg)
+    val target =
+      if (truncate) {
+        val staging = new Path(stagingDir)
+        if (fs.exists(staging)) fs.delete(staging, true) // crashed prior overwrite
+        staging
+      } else {
+        require(!fs.exists(new Path(dir, BtrTable.ManifestFile)),
+          s"btr table at $dir already exists — use mode(\"overwrite\") (append is not supported)")
+        // no manifest => no committed table; a crashed earlier job may still
+        // have left part files whose rename-if-absent commit would beat this
+        // job's writers and serve ITS data under OUR manifest — clear them
+        if (fs.exists(blocks)) fs.delete(blocks, true)
+        blocks
+      }
+    fs.mkdirs(target)
+    BtrWriterFactory(ConfShim.broadcast(spark.sparkContext), target.toString, schema, colTypes, cfg)
   }
 
   /** Manifest (with stats from the commit messages) appears only here —
-    * the atomic "job succeeded" marker for readers.
+    * the atomic "job succeeded" marker for readers. For overwrite this is
+    * also where the staged blocks replace the old ones.
     */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val conf = spark.sparkContext.hadoopConfiguration
+    val blocks = new Path(s"$dir/blocks")
+    val fs = blocks.getFileSystem(conf)
+    if (truncate) {
+      val manifest = new Path(dir, BtrTable.ManifestFile)
+      if (fs.exists(manifest)) fs.delete(manifest, false) // unpublish old table
+      if (fs.exists(blocks)) fs.delete(blocks, true)
+      if (!fs.rename(new Path(stagingDir), blocks))
+        sys.error(s"could not swap $stagingDir -> $blocks")
+    }
     val ms = messages.collect { case m: BtrWriteCommit => m }
     val raw = ms.map(_.rawBytes).sum
     val enc = ms.map(_.encBytes).sum
     val rows = ms.map(_.numRows).sum
     val nparts = ms.count(_.numRows > 0)
-    BtrTable.writeManifest(SparkSession.active, dir, BtrManifest(
+    BtrTable.writeManifest(spark, dir, BtrManifest(
       columns = schema.fields.zip(colTypes).map { case (f, t) => ColumnMeta(f.name, t) }.toSeq,
       numPartitions = nparts,
       blockSize = cfg.blockSize,
@@ -129,9 +164,12 @@ class BtrWrite(
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    // no manifest was written, so the table is invisible; drop the debris
+    // drop only what THIS job created: the staging dir (overwrite — the old
+    // table is untouched and still published) or the fresh blocks dir (no
+    // manifest was written, so nothing is visible). Never the whole target
+    // dir — it may hold unrelated pre-existing files.
     val spark = SparkSession.active
-    val p = new Path(dir)
+    val p = if (truncate) new Path(stagingDir) else new Path(s"$dir/blocks")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
   }

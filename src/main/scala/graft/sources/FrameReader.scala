@@ -1,0 +1,167 @@
+package graft.sources
+
+import graft.engine.BlockFiles
+import org.apache.hadoop.fs.Path
+
+/** Low-level streaming parser for one btr block file: validates the file
+  * header, then yields per-chunk frame headers (row count, per-column types,
+  * blob lengths, parsed zone maps) with the blobs consumed on demand.
+  * Shared by the row/columnar data readers, the COUNT(*) reader, and the
+  * min/max aggregate reader.
+  *
+  * Every read is wrapped with file + offset + chunk context: at 100 TB a
+  * truncated or bit-flipped blob must name the bad block, not surface as a
+  * bare EOFException from readFully (round-3 verdict #8).
+  *
+  * Zone kinds (see BlockFiles frame doc): 0 none, 1 long [i64,i64],
+  * 2 double [f64bits,f64bits] (stored in the long fields), 3 string
+  * [u8 len][bytes] x2. v1 frames have no zones, v2 int-only zones.
+  */
+final class FrameReader(file: String, conf: org.apache.hadoop.conf.Configuration) {
+
+  private val path = new Path(file)
+  private val fs = path.getFileSystem(conf)
+  private val fileLen = fs.getFileStatus(path).getLen
+  private val in = fs.open(path)
+  private var pos = 0L
+  private var chunkIndex = -1
+
+  // ---- per-chunk state, valid after nextHeader() returns true
+  var numRows = 0
+  var nCols = 0
+  var colType: Array[Int] = Array.empty
+  var blobLen: Array[Int] = Array.empty
+  var zKind: Array[Int] = Array.empty
+  var zLongMin: Array[Long] = Array.empty // long zones; double zones as raw bits
+  var zLongMax: Array[Long] = Array.empty
+  var zStrMin: Array[Array[Byte]] = Array.empty
+  var zStrMax: Array[Array[Byte]] = Array.empty
+  private var nextBlob = 0
+
+  private def fail(msg: String, cause: Throwable = null): Nothing =
+    throw new java.io.IOException(
+      s"corrupt btr block file $file at offset $pos (chunk #$chunkIndex): $msg", cause)
+
+  private def guarded[A](what: String)(f: => A): A =
+    try f
+    catch {
+      case e: java.io.EOFException => fail(s"truncated while reading $what", e)
+      case e: IllegalArgumentException => fail(s"$what: ${e.getMessage}", e)
+      case e: IndexOutOfBoundsException => fail(s"$what: ${e.getMessage}", e)
+    }
+
+  private def u8(what: String): Int = {
+    val b = in.read()
+    if (b < 0) fail(s"truncated while reading $what (end of file)")
+    pos += 1
+    b
+  }
+
+  private val b4 = new Array[Byte](4)
+  private def i32(what: String): Int = guarded(what) {
+    in.readFully(b4)
+    pos += 4
+    (b4(0) & 0xff) | ((b4(1) & 0xff) << 8) | ((b4(2) & 0xff) << 16) | ((b4(3) & 0xff) << 24)
+  }
+
+  private def i64(what: String): Long =
+    (i32(what).toLong & 0xffffffffL) | (i32(what).toLong << 32)
+
+  val version: Int = {
+    val hdr = new Array[Byte](5)
+    guarded("file header")(in.readFully(hdr))
+    val magic = (hdr(0) & 0xff) | ((hdr(1) & 0xff) << 8) | ((hdr(2) & 0xff) << 16) | ((hdr(3) & 0xff) << 24)
+    if (magic != BlockFiles.Magic) fail(f"not a btr block file (magic 0x$magic%08x)")
+    val v = hdr(4) & 0xff
+    if (v < 1 || v > BlockFiles.Version) fail(s"unsupported btr block version $v")
+    pos = 5
+    v
+  }
+
+  /** Parse the next chunk's frame header. False at a clean end of file. */
+  def nextHeader(): Boolean = {
+    if (pos >= fileLen) return false
+    chunkIndex += 1
+    numRows = i32("chunk row count")
+    if (numRows <= 0) fail(s"invalid chunk row count $numRows")
+    nCols = u8("column count")
+    if (nCols == 0) fail("zero columns in chunk")
+    if (colType.length < nCols) {
+      colType = new Array[Int](nCols)
+      blobLen = new Array[Int](nCols)
+      zKind = new Array[Int](nCols)
+      zLongMin = new Array[Long](nCols)
+      zLongMax = new Array[Long](nCols)
+      zStrMin = new Array[Array[Byte]](nCols)
+      zStrMax = new Array[Array[Byte]](nCols)
+    }
+    var blobs = 0L
+    var c = 0
+    while (c < nCols) {
+      colType(c) = u8(s"column $c type")
+      blobLen(c) = i32(s"column $c blob length")
+      if (blobLen(c) < 0) fail(s"negative blob length ${blobLen(c)} for column $c")
+      blobs += blobLen(c)
+      version match {
+        case 1 => zKind(c) = 0
+        case 2 =>
+          val hz = u8(s"column $c zone flag")
+          val mn = i64(s"column $c zone min")
+          val mx = i64(s"column $c zone max")
+          if (hz == 1) { zKind(c) = 1; zLongMin(c) = mn; zLongMax(c) = mx }
+          else zKind(c) = 0
+        case _ =>
+          u8(s"column $c zone kind") match {
+            case 0 => zKind(c) = 0
+            case k @ (1 | 2) =>
+              zKind(c) = k
+              zLongMin(c) = i64(s"column $c zone min")
+              zLongMax(c) = i64(s"column $c zone max")
+            case 3 =>
+              zKind(c) = 3
+              val mn = new Array[Byte](u8(s"column $c zone min length"))
+              guarded(s"column $c zone min")(in.readFully(mn)); pos += mn.length
+              val mx = new Array[Byte](u8(s"column $c zone max length"))
+              guarded(s"column $c zone max")(in.readFully(mx)); pos += mx.length
+              zStrMin(c) = mn
+              zStrMax(c) = mx
+            case k => fail(s"bad zoneKind $k for column $c")
+          }
+      }
+      c += 1
+    }
+    // catch truncation before any blob read: the declared blob bytes must
+    // fit in the file
+    if (pos + blobs > fileLen)
+      fail(s"chunk blobs ($blobs bytes) extend past end of file ($fileLen)")
+    nextBlob = 0
+    true
+  }
+
+  /** Read column `c`'s blob; preceding unread blobs are seeked over without
+    * touching memory. Columns must be requested in ascending order.
+    */
+  def readBlob(c: Int): Array[Byte] = {
+    require(c >= nextBlob && c < nCols, s"blob $c out of order (next=$nextBlob, nCols=$nCols)")
+    var skip = 0L
+    var k = nextBlob
+    while (k < c) { skip += blobLen(k); k += 1 }
+    if (skip > 0) { guarded(s"seek past columns $nextBlob..${c - 1}")(in.seek(pos + skip)); pos += skip }
+    val b = new Array[Byte](blobLen(c))
+    guarded(s"column $c blob (${blobLen(c)} bytes)")(in.readFully(b))
+    pos += blobLen(c)
+    nextBlob = c + 1
+    b
+  }
+
+  /** Skip all remaining unread blobs of the current chunk. */
+  def finishChunk(): Unit = {
+    var skip = 0L
+    var k = nextBlob
+    while (k < nCols) { skip += blobLen(k); k += 1 }
+    if (skip > 0) { guarded("seek past remaining blobs")(in.seek(pos + skip)); pos += skip }
+    nextBlob = nCols
+  }
+
+  def close(): Unit = in.close()
+}

@@ -201,6 +201,28 @@ class EngineSpec extends AnyFunSuite {
     assert(view.read(full.length + 10L, 5).isEmpty, "past-EOF read is empty")
   }
 
+  test("BtrCsvView backward seek re-enters at the covering partition, not row 0") {
+    import spark.implicits._
+    val dir = tmpDir("csvview_seek")
+    // 8 distinct block files => 8 scan partitions for the view's rdd
+    val df = (0 until 4000).map(i => (i, s"name_$i")).toDF("id", "name").repartition(8)
+    BtrTable.write(df, dir, BtrConfig(blockSize = 64))
+
+    val full = new String(new BtrCsvView(spark, dir).readAll(), "UTF-8")
+    val view = new BtrCsvView(spark, dir, cacheLimit = 512)
+    // drive to near the end, then seek backward to a mid-table offset
+    val tailOff = full.length - 50L
+    assert(new String(view.read(tailOff, 50), "UTF-8") == full.substring(tailOff.toInt))
+    val midOff = full.length / 2L
+    val got = new String(view.read(midOff, 200), "UTF-8")
+    assert(got == full.substring(midOff.toInt, midOff.toInt + 200), "backward window bytes exact")
+    assert(view.lastReplayFrom > 0,
+      s"backward seek must re-enter at the covering partition, got partition ${view.lastReplayFrom}")
+    // a seek into the header region still replays from the top
+    assert(new String(view.read(0, 10), "UTF-8") == full.take(10))
+    assert(view.lastReplayFrom == 0)
+  }
+
   test("manifest json round-trips") {
     import graft.format._
     val m = BtrManifest(

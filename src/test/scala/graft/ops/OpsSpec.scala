@@ -154,6 +154,34 @@ class OpsSpec extends AnyFunSuite {
     assert(ivfRecall >= 0.6, s"IVF nProbe=4/8 recall floor: $ivfRecall")
   }
 
+  test("ivfTopK recall holds on a skewed-id corpus (uniform training sample)") {
+    // ids correlate with content: low ids cluster around center A, high ids
+    // (a "newer crawl shard") around a far center B. A lowest-id training
+    // sample would model only A and collapse recall for B-region queries;
+    // the hash-ordered uniform sample must cover both.
+    val rnd = new scala.util.Random(41)
+    def around(center: Array[Float]): Array[Float] =
+      center.map(c => c + 0.15f * rnd.nextGaussian().toFloat)
+    val centerA = Array.fill(8)(rnd.nextGaussian().toFloat)
+    val centerB = centerA.map(-_) // opposite direction: clearly separated
+    val lowIds = (1L to 600L).map(i => (i, around(centerA)))
+    val highIds = (1000001L to 1000600L).map(i => (i, around(centerB)))
+    val corpusDf = (lowIds ++ highIds).toDF("vec_id", "embedding").repartition(4)
+    val queryDf = highIds.take(10).toDF("vec_id", "embedding")
+    val brute = SimilarityOps.bruteForceTopK(corpusDf, queryDf, "vec_id", "embedding", 5)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    // sampleSize 64 << corpus size forces a real subsample
+    val ivf = SimilarityOps.ivfTopK(corpusDf, queryDf, "vec_id", "embedding", k = 5,
+      nCentroids = 8, nProbe = 2, sampleSize = 64)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = brute.map { case (q, exact) =>
+      ivf.getOrElse(q, Set.empty).intersect(exact).size.toDouble / exact.size
+    }.sum / brute.size
+    assert(recall >= 0.6, s"IVF must keep recall on the high-id shard: $recall")
+  }
+
   test("streamToBtr: micro-batches land as idempotent btr tables") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

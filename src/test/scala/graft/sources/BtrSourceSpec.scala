@@ -114,12 +114,12 @@ class BtrSourceSpec extends AnyFunSuite {
 
     val counted = spark.read.format("btr").load(dir)
     val plan = counted.groupBy().count().queryExecution.executedPlan.toString
-    assert(plan.contains("BtrCountScan"), s"count(*) must use the headers-only scan:\n$plan")
+    assert(plan.contains("BtrAggScan"), s"count(*) must use the headers-only scan:\n$plan")
     assert(counted.count() == 6000)
     // filtered count must NOT push (filters are evaluated post-scan)
     val fplan = counted.where(col("id") > 10).groupBy().count()
       .queryExecution.executedPlan.toString
-    assert(!fplan.contains("BtrCountScan"), s"filtered count must decode rows:\n$fplan")
+    assert(!fplan.contains("BtrAggScan"), s"filtered count must decode rows:\n$fplan")
     assert(counted.where(col("id") > 10).count() == 5989)
 
     val lim = spark.read.format("btr").load(dir).limit(7)
@@ -259,7 +259,7 @@ class BtrSourceSpec extends AnyFunSuite {
       skippedD += rd.chunksSkipped
       rd.close()
       val rs = new BtrPartitionReader(f, conf, Array(0),
-        Array(StringZonePred(1, StrOp.EQ, "k04321".getBytes("UTF-8"))))
+        Array(StringZonePred(1, StrOp.EQ, "k04321")))
       while (rs.next()) ()
       skippedS += rs.chunksSkipped
       rs.close()
@@ -324,6 +324,176 @@ class BtrSourceSpec extends AnyFunSuite {
     val back = spark.read.format("btr").load(dir)
     assert(back.count() == 2000)
     assert(back.except(df).count() == 0 && df.except(back).count() == 0)
+  }
+
+  test("IN-set zone pushdown: chunks missing every set member are skipped") {
+    import spark.implicits._
+    val dir = tmp("inset")
+    val df = (0 until 8192).map(i => (i, f"k$i%05d", i * 1.5)).toDF("id", "s", "d")
+    BlockFiles.write(df, dir, BtrConfig(blockSize = 256), rangeCols = Seq("id"))
+
+    val q = spark.read.format("btr").load(dir)
+      .where(col("id").isin(105, 3205, 7405))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("zoneFilters=id:"), s"IN filter must reach the scan:\n$plan")
+    assert(q.collect().map(_.getInt(0)).sorted.toSeq == Seq(105, 3205, 7405))
+
+    // string IN set through the same path
+    val qs = spark.read.format("btr").load(dir).where(col("s").isin("k00105", "k07405"))
+    assert(qs.collect().map(_.getInt(0)).sorted.toSeq == Seq(105, 7405))
+
+    // reader-level evidence: only the 3 chunks containing a member decode
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(s"$dir/blocks").getFileSystem(conf)
+    val files = fs.listStatus(new Path(s"$dir/blocks"))
+      .map(_.getPath.toString).filter(_.contains("part-")).sorted
+    var skipped = 0L
+    var skippedS = 0L
+    files.foreach { f =>
+      val r = new BtrPartitionReader(f, conf, Array(0),
+        Array(LongInZonePred(0, Seq(105L, 3205L, 7405L))))
+      while (r.next()) ()
+      skipped += r.chunksSkipped
+      r.close()
+      val rs = new BtrPartitionReader(f, conf, Array(0),
+        Array(StringInZonePred(1, Seq("k00105", "k07405"))))
+      while (rs.next()) ()
+      skippedS += rs.chunksSkipped
+      rs.close()
+    }
+    assert(skipped >= 29, s"29+ of 32 chunks must be skipped for a 3-member set: $skipped")
+    assert(skippedS >= 29, s"string IN must skip too: $skippedS")
+
+    // an infeasible set (non-integral equality over ints) skips everything
+    var all = 0L
+    files.foreach { f =>
+      val r = new BtrPartitionReader(f, conf, Array(0), Array(LongInZonePred(0, Seq.empty)))
+      while (r.next()) all += 1
+      r.close()
+    }
+    assert(all == 0, s"empty feasible set must decode nothing: $all")
+  }
+
+  test("min/max aggregate pushdown answers from zone headers, falls back per chunk") {
+    import spark.implicits._
+    val dir = tmp("aggmm")
+    val df = (0 until 8192).map(i => (i, f"k$i%05d", i * 1.5)).toDF("id", "s", "d")
+    BlockFiles.write(df, dir, BtrConfig(blockSize = 256), rangeCols = Seq("id"))
+
+    val q = spark.read.format("btr").load(dir)
+      .agg(min("id").as("mn"), max("id").as("mx"), count(lit(1)).as("n"),
+        min("s").as("smn"), max("s").as("smx"), min("d").as("dmn"), max("d").as("dmx"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BtrAggScan"), s"min/max must use the headers-only scan:\n$plan")
+    val r = q.head()
+    assert(r.getInt(0) == 0 && r.getInt(1) == 8191 && r.getLong(2) == 8192)
+    assert(r.getString(3) == "k00000" && r.getString(4) == "k08191")
+    assert(r.getDouble(5) == 0.0 && r.getDouble(6) == 8191 * 1.5)
+
+    // zone-less chunks (long strings > 64 bytes) force the decode fallback;
+    // values must still be exact
+    val dir2 = tmp("aggmm_fb")
+    val long = (0 until 2000).map(i => (i, f"v$i%05d" + ("x" * 100))).toDF("id", "t")
+    BlockFiles.write(long, dir2, BtrConfig(blockSize = 128))
+    val r2 = spark.read.format("btr").load(dir2).agg(min("t"), max("t")).head()
+    assert(r2.getString(0) == "v00000" + ("x" * 100))
+    assert(r2.getString(1) == "v01999" + ("x" * 100))
+
+    // NaN chunks drop their double zones; Spark's ordering (NaN greatest)
+    // must survive the fallback
+    val dir3 = tmp("aggmm_nan")
+    val nan = ((0 until 1000).map(i => (i, i * 0.5)) :+ ((1000, Double.NaN)))
+      .toDF("id", "d")
+    BlockFiles.write(nan, dir3, BtrConfig(blockSize = 128))
+    val r3 = spark.read.format("btr").load(dir3).agg(min("d"), max("d")).head()
+    assert(r3.getDouble(0) == 0.0)
+    assert(r3.getDouble(1).isNaN, s"NaN is the Spark max: ${r3.getDouble(1)}")
+  }
+
+  test("chunksSkipped surfaces as a DSv2 custom metric") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val dir = tmp("metric")
+    val df = (0 until 8192).map(i => (i, s"p$i")).toDF("id", "s")
+    BlockFiles.write(df, dir, BtrConfig(blockSize = 256), rangeCols = Seq("id"))
+    val q = spark.read.format("btr").load(dir).where(col("id").between(1000, 1099))
+    assert(q.collect().length == 100)
+    val scan = q.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }
+    assert(scan.isDefined, "BatchScanExec expected in the executed plan")
+    val metric = scan.get.metrics.get("chunksSkipped")
+    assert(metric.isDefined, s"custom metric registered: ${scan.get.metrics.keys}")
+    assert(metric.get.value > 20, s"metric must record the skipped chunks: ${metric.get.value}")
+  }
+
+  test("corrupt block files fail with file + chunk context, not a bare EOF") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val dir = tmp("corrupt")
+    val df = (0 until 2000).map(i => (i, s"payload_$i")).toDF("id", "s")
+    BlockFiles.write(df, dir, BtrConfig(blockSize = 256))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(s"$dir/blocks").getFileSystem(conf)
+    val orig = fs.listStatus(new Path(s"$dir/blocks"))
+      .map(_.getPath).find(_.getName.startsWith("part-")).get
+    val bytes = {
+      val in = fs.open(orig)
+      val b = try in.readAllBytes() finally in.close()
+      b
+    }
+
+    // truncated mid-frame: error names the file and the chunk
+    val tPath = new Path(s"$dir/blocks_trunc")
+    fs.mkdirs(tPath)
+    val tf = new Path(tPath, "part-00000")
+    val os = fs.create(tf, true)
+    os.write(bytes, 0, bytes.length - 7)
+    os.close()
+    val e = intercept[java.io.IOException] {
+      val r = new BtrPartitionReader(tf.toString, conf, Array(0), Array.empty)
+      try while (r.next()) () finally r.close()
+    }
+    assert(e.getMessage.contains("part-00000") && e.getMessage.contains("chunk #"),
+      s"error must name file and chunk: ${e.getMessage}")
+
+    // bit-flipped magic: refused up front with the file named
+    val mf = new Path(tPath, "part-00001")
+    val os2 = fs.create(mf, true)
+    val flipped = bytes.clone(); flipped(0) = (flipped(0) ^ 0x40).toByte
+    os2.write(flipped)
+    os2.close()
+    val e2 = intercept[java.io.IOException] {
+      new BtrPartitionReader(mf.toString, conf, Array(0), Array.empty)
+    }
+    assert(e2.getMessage.contains("part-00001") && e2.getMessage.contains("not a btr block file"),
+      s"magic check must name the file: ${e2.getMessage}")
+  }
+
+  test("failed overwrite leaves the previous table intact (staged swap)") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val dir = tmp("stagedow")
+    val df = (0 until 1000).map(i => (i, s"v$i")).toDF("id", "s")
+    df.write.format("btr").mode("overwrite").save(dir)
+
+    val bad = spark.range(1000).as[Long]
+      .map { i => if (i == 500L) sys.error("boom mid-write"); (i.toInt, "x") }
+      .toDF("id", "s")
+    intercept[Exception] {
+      bad.write.format("btr").mode("overwrite").save(dir)
+    }
+    // old table fully readable; staging debris gone
+    val back = spark.read.format("btr").load(dir)
+    assert(back.count() == 1000)
+    assert(back.where("id = 7").head().getString(1) == "v7")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(s"$dir/.staging-blocks")), "staging dir must be cleaned on abort")
+
+    // a successful overwrite still swaps in the new data
+    (0 until 50).map(i => (i, "new")).toDF("id", "s")
+      .write.format("btr").mode("overwrite").save(dir)
+    assert(spark.read.format("btr").load(dir).count() == 50)
+    assert(!fs.exists(new Path(s"$dir/.staging-blocks")))
   }
 
   test("range-partitioned blocks write") {
