@@ -1,7 +1,7 @@
 package graft.engine
 
 import graft.codec.BtrConfig
-import graft.format.{BtrManifest, ColumnMeta, CompressedPart}
+import graft.format.{BtrManifest, ColumnMeta, CompressedPart, FileZone, ZoneAccumulator, ZoneIndex}
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -38,6 +38,13 @@ object BlockFiles {
     * smaller than the rows it encodes).
     */
   final case class Frame(bytes: Array[Byte], rawBytes: Long, encBytes: Long, numRows: Int)
+
+  /** One block file's write result: totals plus the file-level zone fold
+    * (None when any chunk lacked a zone for every column).
+    */
+  final case class BlockWriteStat(
+      pid: Int, rawBytes: Long, encBytes: Long, numRows: Long,
+      zones: Option[IndexedSeq[graft.format.ColZone]])
 
   /** Serialize one chunk's column parts into a v3 frame. */
   def frameChunk(chunkParts: Seq[CompressedPart]): Frame = {
@@ -141,14 +148,16 @@ object BlockFiles {
     val colTypes = BtrEncoder.validateSchema(schema)
     val confB = ConfShim.broadcast(spark.sparkContext)
     val blocksDir = s"$dir/blocks"
-    // clean target
+    // clean target (including any stale zone index from a previous table)
     val p = new Path(blocksDir)
     val fs0 = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs0.exists(p)) fs0.delete(p, true)
+    val staleIdx = new Path(dir, ZoneIndex.FileName)
+    if (fs0.exists(staleIdx)) fs0.delete(staleIdx, false)
     fs0.mkdirs(p)
 
     val n = spark.sessionState.conf.numShufflePartitions
-    val stats: Array[(Long, Long, Long)] =
+    val stats: Array[BlockWriteStat] =
       if (rangeCols.nonEmpty && compressedExchange)
         writeCompressedExchange(df, blocksDir, cfg, rangeCols, n, confB)
       else {
@@ -173,14 +182,21 @@ object BlockFiles {
         }.collect()
       }
 
+    // file-level zone index first, manifest (the publish marker) last
+    val entries = stats.collect {
+      case s if s.numRows > 0 && s.zones.isDefined => FileZone(f"part-${s.pid}%05d", s.zones.get)
+    }
+    if (entries.nonEmpty)
+      ZoneIndex.write(spark.sparkContext.hadoopConfiguration, dir, entries.toSeq)
+
     val m = BtrManifest(
       columns = schema.fields.zip(colTypes).map { case (f, t) => ColumnMeta(f.name, t) }.toSeq,
       numPartitions = stats.length,
       blockSize = cfg.blockSize,
       maxCascadeDepth = cfg.maxCascadeDepth,
-      numRows = stats.map(_._3).sum,
-      rawBytes = stats.map(_._1).sum,
-      encBytes = stats.map(_._2).sum,
+      numRows = stats.map(_.numRows).sum,
+      rawBytes = stats.map(_.rawBytes).sum,
+      encBytes = stats.map(_.encBytes).sum,
       completedPartitions = Seq(0))
     BtrTable.writeManifest(spark, dir, m)
     m
@@ -201,7 +217,7 @@ object BlockFiles {
       cfg: BtrConfig,
       rangeCols: Seq[String],
       n: Int,
-      confB: org.apache.spark.broadcast.Broadcast[ConfShim.SerConf]): Array[(Long, Long, Long)] = {
+      confB: org.apache.spark.broadcast.Broadcast[ConfShim.SerConf]): Array[BlockWriteStat] = {
     val spark = df.sparkSession
     import spark.implicits._
     // local sort: clusters each input split's rows by key before chunking,
@@ -266,7 +282,7 @@ object BlockFiles {
       rows: Iterator[org.apache.spark.sql.catalyst.InternalRow],
       schema: org.apache.spark.sql.types.StructType,
       colTypes: Array[Int],
-      cfg: BtrConfig): (Long, Long, Long) = {
+      cfg: BtrConfig): BlockWriteStat = {
     val frames = new BtrEncoder.PartitionEncodeIterator(rows, schema, colTypes, cfg)
       .grouped(schema.length).map(frameChunk)
     writeFrames(conf, blocksDir, pid, attemptId, frames)
@@ -274,15 +290,16 @@ object BlockFiles {
 
   /** One task attempt's block-file write (factored out so the retry
     * semantics are unit-testable without Spark's retry machinery).
-    * Returns (rawBytes, encBytes, numRows) of the bytes THIS attempt
-    * encoded; the committed file is whichever attempt renamed first.
+    * Returns the stats + folded file-level zones of the bytes THIS attempt
+    * encoded; the committed file is whichever attempt renamed first (same
+    * deterministic content).
     */
   def writeFrames(
       conf: org.apache.hadoop.conf.Configuration,
       blocksDir: String,
       pid: Int,
       attemptId: Long,
-      frames: Iterator[Frame]): (Long, Long, Long) = {
+      frames: Iterator[Frame]): BlockWriteStat = {
     val fs = new Path(blocksDir).getFileSystem(conf)
     val finalPath = new Path(blocksDir, f"part-$pid%05d")
     val tmpPath = new Path(blocksDir, f".tmp-part-$pid%05d-attempt-$attemptId")
@@ -290,6 +307,7 @@ object BlockFiles {
     var rawBytes = 0L
     var encBytes = 0L
     var numRows = 0L
+    val zoneAcc = new ZoneAccumulator
     var committed = false
     try {
       out.write(Array[Byte](
@@ -298,6 +316,7 @@ object BlockFiles {
         Version.toByte))
       frames.foreach { f =>
         out.write(f.bytes)
+        zoneAcc.fold(f.bytes)
         rawBytes += f.rawBytes
         encBytes += f.encBytes
         numRows += f.numRows
@@ -310,7 +329,7 @@ object BlockFiles {
       try out.close() catch { case _: java.io.IOException => () }
       if (fs.exists(tmpPath)) fs.delete(tmpPath, false)
     }
-    (rawBytes, encBytes, numRows)
+    BlockWriteStat(pid, rawBytes, encBytes, numRows, zoneAcc.result())
   }
 
   /** Commit via rename-if-absent: FileContext's default rename FAILS when

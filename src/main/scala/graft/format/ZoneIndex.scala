@@ -1,0 +1,207 @@
+package graft.format
+
+import org.apache.hadoop.fs.Path
+
+/** File-level zone index — the planning-time pruning sidecar
+  * (`_btr_zones.bin`) for the raw block-file layout.
+  *
+  * The v3 block frames carry per-CHUNK zone maps, which lets a reader skip
+  * chunks without decoding blobs — but the reader still has to OPEN every
+  * block file and stream its frame headers. At 100 TB (thousands of block
+  * files) the next pruning level is per FILE: each write folds its chunks'
+  * zones into one [min,max] per column and the driver persists them here,
+  * so `BtrScan.planInputPartitions` drops whole files before a single task
+  * launches. Absent or unreadable index → no file pruning (chunk-level
+  * skipping still applies), so pre-index tables stay fully readable.
+  *
+  * Binary layout (all little-endian, mirroring the frame zone payloads):
+  *   [i32 magic "BTRZ"][u8 version=1][i32 nFiles]
+  *   per file: [u16 nameLen][name utf8][u8 nCols]
+  *     per col: [u8 kind][payload]
+  *       kind 0: none (some chunk lacked a zone — conservative)
+  *       kind 1: [i64 min][i64 max]          (long)
+  *       kind 2: [i64 minBits][i64 maxBits]  (double)
+  *       kind 3: [u8 len][bytes] x2          (UTF-8 string, each <= 64)
+  */
+final case class ColZone(
+    kind: Int,
+    lmin: Long = 0L,
+    lmax: Long = 0L,
+    smin: Array[Byte] = Array.emptyByteArray,
+    smax: Array[Byte] = Array.emptyByteArray)
+
+final case class FileZone(file: String, cols: IndexedSeq[ColZone])
+
+object ZoneIndex {
+  final val FileName = "_btr_zones.bin"
+  final val Magic = 0x5a525442 // "BTRZ" little-endian
+  final val Version = 1
+
+  def toBytes(entries: Seq[FileZone]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v); u8(v >>> 8) }
+    def i32(v: Int): Unit = { u8(v); u8(v >>> 8); u8(v >>> 16); u8(v >>> 24) }
+    def i64(v: Long): Unit = { i32(v.toInt); i32((v >>> 32).toInt) }
+    i32(Magic); u8(Version); i32(entries.length)
+    entries.foreach { e =>
+      val name = e.file.getBytes("UTF-8")
+      require(name.length <= 0xffff, s"file name too long: ${e.file}")
+      u16(name.length); out.write(name)
+      require(e.cols.length <= 255, s"${e.cols.length} columns > 255")
+      u8(e.cols.length)
+      e.cols.foreach { c =>
+        u8(c.kind)
+        c.kind match {
+          case 0 => ()
+          case 1 | 2 => i64(c.lmin); i64(c.lmax)
+          case 3 =>
+            require(c.smin.length <= 64 && c.smax.length <= 64, "string zone > 64 bytes")
+            u8(c.smin.length); out.write(c.smin)
+            u8(c.smax.length); out.write(c.smax)
+        }
+      }
+    }
+    out.toByteArray
+  }
+
+  def fromBytes(b: Array[Byte]): Seq[FileZone] = {
+    var p = 0
+    def u8(): Int = { val v = b(p) & 0xff; p += 1; v }
+    def u16(): Int = u8() | (u8() << 8)
+    def i32(): Int = u8() | (u8() << 8) | (u8() << 16) | (u8() << 24)
+    def i64(): Long = (i32().toLong & 0xffffffffL) | (i32().toLong << 32)
+    require(i32() == Magic, "not a btr zone index")
+    val v = u8()
+    require(v == Version, s"unsupported zone index version $v")
+    val n = i32()
+    (0 until n).map { _ =>
+      val name = new Array[Byte](u16())
+      System.arraycopy(b, p, name, 0, name.length); p += name.length
+      val nCols = u8()
+      val cols = (0 until nCols).map { _ =>
+        u8() match {
+          case 0 => ColZone(0)
+          case k @ (1 | 2) => ColZone(k, i64(), i64())
+          case 3 =>
+            val mn = new Array[Byte](u8())
+            System.arraycopy(b, p, mn, 0, mn.length); p += mn.length
+            val mx = new Array[Byte](u8())
+            System.arraycopy(b, p, mx, 0, mx.length); p += mx.length
+            ColZone(3, smin = mn, smax = mx)
+          case k => sys.error(s"bad zone index kind $k")
+        }
+      }
+      FileZone(new String(name, "UTF-8"), cols.toIndexedSeq)
+    }
+  }
+
+  /** Atomic publish (dot-temp + rename-over), like the manifest. */
+  def write(conf: org.apache.hadoop.conf.Configuration, dir: String, entries: Seq[FileZone]): Unit = {
+    val path = new Path(dir, FileName)
+    val tmp = new Path(dir, s".$FileName.tmp")
+    val fs = path.getFileSystem(conf)
+    val out = fs.create(tmp, true)
+    try out.write(toBytes(entries))
+    finally out.close()
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(path.toUri, conf)
+      fc.rename(tmp, path, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        if (fs.exists(path)) fs.delete(path, false)
+        fs.rename(tmp, path)
+    }
+  }
+
+  /** None when the index is absent or unreadable — pruning degrades to the
+    * chunk level, never to an error.
+    */
+  def read(conf: org.apache.hadoop.conf.Configuration, dir: String): Option[Seq[FileZone]] = {
+    val path = new Path(dir, FileName)
+    try {
+      val fs = path.getFileSystem(conf)
+      if (!fs.exists(path)) None
+      else {
+        val in = fs.open(path)
+        val bytes = try in.readAllBytes() finally in.close()
+        Some(fromBytes(bytes))
+      }
+    } catch { case _: Exception => None }
+  }
+}
+
+/** Folds per-frame (chunk) zone maps into one file-level zone per column by
+  * parsing v3 frame headers from their serialized bytes — the single fold
+  * implementation shared by every writer (RDD block writer, compressed
+  * exchange reducer, DSv2 DataWriter). A column whose ANY chunk lacks a
+  * zone folds to kind 0 (unprunable), and pre-v3 frames disable the fold.
+  */
+final class ZoneAccumulator {
+  private var nCols = -1
+  private var kind: Array[Int] = _
+  private var lmin: Array[Long] = _
+  private var lmax: Array[Long] = _
+  private var smin: Array[Array[Byte]] = _
+  private var smax: Array[Array[Byte]] = _
+  private var dead = false
+
+  def fold(frame: Array[Byte]): Unit = {
+    if (dead) return
+    var p = 4 // skip i32 numRows
+    def u8(): Int = { val v = frame(p) & 0xff; p += 1; v }
+    def i32(): Int = u8() | (u8() << 8) | (u8() << 16) | (u8() << 24)
+    def i64(): Long = (i32().toLong & 0xffffffffL) | (i32().toLong << 32)
+    val n = u8()
+    if (nCols < 0) {
+      nCols = n
+      kind = Array.fill(n)(-1)
+      lmin = new Array[Long](n); lmax = new Array[Long](n)
+      smin = new Array[Array[Byte]](n); smax = new Array[Array[Byte]](n)
+    } else if (n != nCols) { dead = true; return }
+    var c = 0
+    while (c < n) {
+      u8() // colType
+      i32() // blobLen
+      u8() match {
+        case 0 => kind(c) = 0
+        case k @ (1 | 2) =>
+          val mn = i64(); val mx = i64()
+          if (kind(c) == -1) { kind(c) = k; lmin(c) = mn; lmax(c) = mx }
+          else if (kind(c) == k) {
+            if (k == 1) {
+              if (mn < lmin(c)) lmin(c) = mn
+              if (mx > lmax(c)) lmax(c) = mx
+            } else {
+              // double bits: compare as doubles (zones never contain NaN)
+              if (java.lang.Double.longBitsToDouble(mn) < java.lang.Double.longBitsToDouble(lmin(c))) lmin(c) = mn
+              if (java.lang.Double.longBitsToDouble(mx) > java.lang.Double.longBitsToDouble(lmax(c))) lmax(c) = mx
+            }
+          } else kind(c) = 0
+        case 3 =>
+          val mn = new Array[Byte](u8())
+          System.arraycopy(frame, p, mn, 0, mn.length); p += mn.length
+          val mx = new Array[Byte](u8())
+          System.arraycopy(frame, p, mx, 0, mx.length); p += mx.length
+          if (kind(c) == -1) { kind(c) = 3; smin(c) = mn; smax(c) = mx }
+          else if (kind(c) == 3) {
+            if (java.util.Arrays.compareUnsigned(mn, smin(c)) < 0) smin(c) = mn
+            if (java.util.Arrays.compareUnsigned(mx, smax(c)) > 0) smax(c) = mx
+          } else kind(c) = 0
+        case _ => dead = true; return
+      }
+      c += 1
+    }
+  }
+
+  /** Folded zones, or None when nothing prunable was seen. */
+  def result(): Option[IndexedSeq[ColZone]] =
+    if (dead || nCols < 0 || kind.forall(k => k <= 0)) None
+    else Some((0 until nCols).map { c =>
+      kind(c) match {
+        case 1 | 2 => ColZone(kind(c), lmin(c), lmax(c))
+        case 3     => ColZone(3, smin = smin(c), smax = smax(c))
+        case _     => ColZone(0)
+      }
+    })
+}

@@ -300,6 +300,39 @@ sealed trait AggSpec extends Serializable
 case object CountSpec extends AggSpec
 case class MinMaxSpec(colIdx: Int, isMin: Boolean) extends AggSpec
 
+/** Evaluates pushed zone predicates against a FILE-level ColZone row (the
+  * same skip() logic the chunk-level readers apply to frame zones).
+  */
+object ZonePredEval {
+  def rejects(preds: Array[ZonePred], cols: IndexedSeq[graft.format.ColZone]): Boolean =
+    preds.exists { pr =>
+      pr.colIdx < cols.length && {
+        val z = cols(pr.colIdx)
+        z.kind match {
+          case 1 => pr match {
+            case p: LongZonePred   => p.skip(z.lmin, z.lmax)
+            case p: LongInZonePred => p.skip(z.lmin, z.lmax)
+            case _                 => false
+          }
+          case 2 =>
+            val mn = java.lang.Double.longBitsToDouble(z.lmin)
+            val mx = java.lang.Double.longBitsToDouble(z.lmax)
+            pr match {
+              case p: DoubleZonePred   => p.skip(mn, mx)
+              case p: DoubleInZonePred => p.skip(mn, mx)
+              case _                   => false
+            }
+          case 3 => pr match {
+            case p: StringZonePred   => p.skip(z.smin, z.smax)
+            case p: StringInZonePred => p.skip(z.smin, z.smax)
+            case _                   => false
+          }
+          case _ => false
+        }
+      }
+    }
+}
+
 object BtrScan {
   def listBlockFiles(dir: String): Array[InputPartition] = {
     val spark = SparkSession.active
@@ -323,7 +356,9 @@ class BtrScan(
   override def toBatch: Batch = this
   override def description(): String =
     s"BtrScan(dir=$dir, columns=${required.fieldNames.mkString(",")}" +
-      (if (zones.isEmpty) "" else s", zoneFilters=${zones.map(z => s"${fullSchema.fieldNames(z.colIdx)}:$z").mkString(";")}") +
+      (if (zones.isEmpty) ""
+       else s", zoneFilters=${zones.map(z => s"${fullSchema.fieldNames(z.colIdx)}:$z").mkString(";")}" +
+         s", files=${plannedFiles.length}/${allFiles.length}") +
       (if (limit >= 0) s", limit=$limit)" else ")")
 
   /** Decoded-size statistics from the manifest — lets Catalyst see the
@@ -343,7 +378,29 @@ class BtrScan(
     }
   }
 
-  override def planInputPartitions(): Array[InputPartition] = BtrScan.listBlockFiles(dir)
+  private lazy val allFiles: Array[InputPartition] = BtrScan.listBlockFiles(dir)
+
+  /** PLANNING-time file pruning: the write paths fold each file's chunk
+    * zones into a `_btr_zones.bin` index, so a selective pushed filter can
+    * drop whole block files before a single task launches — at 100 TB this
+    * is the level above per-chunk skipping (which still opens every file).
+    * No index (pre-index tables, unreadable sidecar) → all files, and the
+    * chunk-level zone skip still applies inside each reader.
+    */
+  private lazy val plannedFiles: Array[InputPartition] =
+    if (zones.isEmpty) allFiles
+    else graft.format.ZoneIndex.read(
+      SparkSession.active.sparkContext.hadoopConfiguration, dir) match {
+      case Some(entries) =>
+        val byName = entries.map(e => e.file -> e.cols).toMap
+        allFiles.filter { p =>
+          val name = new Path(p.asInstanceOf[BtrInputPartition].file).getName
+          byName.get(name).forall(cols => !ZonePredEval.rejects(zones, cols))
+        }
+      case None => allFiles
+    }
+
+  override def planInputPartitions(): Array[InputPartition] = plannedFiles
 
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     Array(new ChunksSkippedMetric)

@@ -2,7 +2,7 @@ package graft.sources
 
 import graft.codec.BtrConfig
 import graft.engine.{BlockFiles, BtrEncoder, BtrTable}
-import graft.format.{BtrManifest, BucketStat, ColumnMeta}
+import graft.format.{BtrManifest, BucketStat, ColZone, ColumnMeta, FileZone, ZoneAccumulator, ZoneIndex}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -52,7 +52,12 @@ class BtrWriteBuilder(dir: String, info: LogicalWriteInfo)
     require(advisory == 0L || rangeCols.nonEmpty,
       "targetPartitionBytes requires rangeCols (AQE sizes the range exchange; " +
         "an unpartitioned write has no exchange to size)")
-    new BtrWrite(dir, info.schema(), colTypes, cfg, rangeCols, doTruncate, advisory)
+    val numParts = Option(info.options.get("numpartitions")).map(_.toInt).getOrElse(0)
+    require(numParts == 0 || rangeCols.nonEmpty,
+      "numPartitions requires rangeCols (it sizes the range exchange)")
+    require(numParts == 0 || advisory == 0L,
+      "numPartitions and targetPartitionBytes are mutually exclusive")
+    new BtrWrite(dir, info.schema(), colTypes, cfg, rangeCols, doTruncate, advisory, numParts)
   }
 }
 
@@ -63,7 +68,8 @@ class BtrWrite(
     cfg: BtrConfig,
     rangeCols: Seq[String],
     truncate: Boolean,
-    advisoryBytes: Long = 0L)
+    advisoryBytes: Long = 0L,
+    numParts: Int = 0)
   extends Write with RequiresDistributionAndOrdering with BatchWrite {
 
   /** `targetPartitionBytes` option: lets AQE size the write partitions to
@@ -72,6 +78,11 @@ class BtrWrite(
     * a fixed count.
     */
   override def advisoryPartitionSizeInBytes(): Long = advisoryBytes
+
+  /** `numPartitions` option: pin an exact writer count (= block-file count)
+    * instead of AQE sizing — e.g. to guarantee file-level zone granularity.
+    */
+  override def requiredNumPartitions(): Int = numParts
 
   override def description(): String =
     s"BtrWrite(dir=$dir${if (rangeCols.nonEmpty) s", rangeCols=${rangeCols.mkString(",")}" else ""})"
@@ -123,7 +134,10 @@ class BtrWrite(
         // no manifest => no committed table; a crashed earlier job may still
         // have left part files whose rename-if-absent commit would beat this
         // job's writers and serve ITS data under OUR manifest — clear them
+        // (and any orphaned zone index with them)
         if (fs.exists(blocks)) fs.delete(blocks, true)
+        val staleIdx = new Path(dir, ZoneIndex.FileName)
+        if (fs.exists(staleIdx)) fs.delete(staleIdx, false)
         blocks
       }
     fs.mkdirs(target)
@@ -142,6 +156,8 @@ class BtrWrite(
     if (truncate) {
       val manifest = new Path(dir, BtrTable.ManifestFile)
       if (fs.exists(manifest)) fs.delete(manifest, false) // unpublish old table
+      val staleIdx = new Path(dir, ZoneIndex.FileName)
+      if (fs.exists(staleIdx)) fs.delete(staleIdx, false) // never outlives its blocks
       if (fs.exists(blocks)) fs.delete(blocks, true)
       if (!fs.rename(new Path(stagingDir), blocks))
         sys.error(s"could not swap $stagingDir -> $blocks")
@@ -151,6 +167,11 @@ class BtrWrite(
     val enc = ms.map(_.encBytes).sum
     val rows = ms.map(_.numRows).sum
     val nparts = ms.count(_.numRows > 0)
+    // file-level zone index before the manifest (the publish marker)
+    val entries = ms.collect {
+      case m if m.numRows > 0 && m.zones.isDefined => FileZone(f"part-${m.pid}%05d", m.zones.get)
+    }
+    if (entries.nonEmpty) ZoneIndex.write(conf, dir, entries.toSeq)
     BtrTable.writeManifest(spark, dir, BtrManifest(
       columns = schema.fields.zip(colTypes).map { case (f, t) => ColumnMeta(f.name, t) }.toSeq,
       numPartitions = nparts,
@@ -175,7 +196,9 @@ class BtrWrite(
   }
 }
 
-case class BtrWriteCommit(pid: Int, rawBytes: Long, encBytes: Long, numRows: Long)
+case class BtrWriteCommit(
+    pid: Int, rawBytes: Long, encBytes: Long, numRows: Long,
+    zones: Option[IndexedSeq[ColZone]] = None)
   extends WriterCommitMessage
 
 case class BtrWriterFactory(
@@ -205,6 +228,7 @@ class BtrDataWriter(
   extends DataWriter[InternalRow] {
 
   private val builder = new BtrEncoder.ChunkBuilder(schema, colTypes, cfg, s" at partition $pid")
+  private val zoneAcc = new ZoneAccumulator
   private val fs = new Path(blocksDir).getFileSystem(conf)
   private val finalPath = new Path(blocksDir, f"part-$pid%05d")
   private val tmpPath = new Path(blocksDir, f".tmp-part-$pid%05d-attempt-$taskId")
@@ -227,6 +251,7 @@ class BtrDataWriter(
     val f = BlockFiles.frameChunk(
       scala.collection.immutable.ArraySeq.unsafeWrapArray(builder.build(pid, chunkIdx, firstRow)))
     out.write(f.bytes)
+    zoneAcc.fold(f.bytes)
     chunkIdx += 1
     firstRow += len
     rawBytes += f.rawBytes
@@ -246,7 +271,7 @@ class BtrDataWriter(
       if (!BlockFiles.commitRename(conf, fs, tmpPath, finalPath))
         sys.error(s"could not commit $tmpPath -> $finalPath")
     }
-    BtrWriteCommit(pid, rawBytes, encBytes, firstRow)
+    BtrWriteCommit(pid, rawBytes, encBytes, firstRow, zoneAcc.result())
   }
 
   override def abort(): Unit = close()
