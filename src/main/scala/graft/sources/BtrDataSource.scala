@@ -351,7 +351,8 @@ class BtrScan(
     required: StructType,
     zones: Array[ZonePred],
     limit: Int = -1)
-  extends Scan with Batch with SupportsReportStatistics {
+  extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -360,6 +361,38 @@ class BtrScan(
        else s", zoneFilters=${zones.map(z => s"${fullSchema.fieldNames(z.colIdx)}:$z").mkString(";")}" +
          s", files=${plannedFiles.length}/${allFiles.length}") +
       (if (limit >= 0) s", limit=$limit)" else ")")
+
+  /** Runtime (join-driven) filtering — the dynamic-partition-pruning analog
+    * for the block format: when this table is equi-joined to a broadcast
+    * side, Spark hands the build side's key values here as an IN predicate
+    * BEFORE re-planning input partitions. The values become extra zone
+    * predicates, so whole files (zone index) and chunks (frame zones) of
+    * fact data that cannot match any build key are never read. Every
+    * column is zone-eligible, so all of them are advertised.
+    */
+  @volatile private var runtimeZones: Array[ZonePred] = Array.empty
+  @volatile private var plannedCache: Array[InputPartition] = _
+
+  private def activeZones: Array[ZonePred] = zones ++ runtimeZones
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    fullSchema.fieldNames.map(org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val zs = predicates.flatMap(RuntimePredTranslator.toZone(fullSchema, _))
+    if (zs.nonEmpty) {
+      runtimeZones = runtimeZones ++ zs
+      plannedCache = null
+      // Spark may have built the reader factory during planning (the
+      // columnar-support probe) BEFORE runtime filters arrive; tasks are
+      // serialized after filter(), so late-binding the zones on the
+      // factory lets readers skip chunks by the runtime keys too
+      val f = factoryRef
+      if (f != null) f.extraZones = runtimeZones
+    }
+  }
+
+  @volatile private var factoryRef: BtrReaderFactory = _
 
   /** Decoded-size statistics from the manifest — lets Catalyst see the
     * real (uncompressed) relation size for join planning (e.g. broadcast
@@ -381,24 +414,34 @@ class BtrScan(
   private lazy val allFiles: Array[InputPartition] = BtrScan.listBlockFiles(dir)
 
   /** PLANNING-time file pruning: the write paths fold each file's chunk
-    * zones into a `_btr_zones.bin` index, so a selective pushed filter can
-    * drop whole block files before a single task launches — at 100 TB this
-    * is the level above per-chunk skipping (which still opens every file).
-    * No index (pre-index tables, unreadable sidecar) → all files, and the
-    * chunk-level zone skip still applies inside each reader.
+    * zones into a `_btr_zones.bin` index, so a selective pushed (or
+    * runtime) filter can drop whole block files before a single task
+    * launches — at 100 TB this is the level above per-chunk skipping
+    * (which still opens every file). No index (pre-index tables,
+    * unreadable sidecar) → all files, and the chunk-level zone skip still
+    * applies inside each reader. Cached, invalidated when runtime filters
+    * arrive (Spark re-calls planInputPartitions after filter()).
     */
-  private lazy val plannedFiles: Array[InputPartition] =
-    if (zones.isEmpty) allFiles
-    else graft.format.ZoneIndex.read(
-      SparkSession.active.sparkContext.hadoopConfiguration, dir) match {
-      case Some(entries) =>
-        val byName = entries.map(e => e.file -> e.cols).toMap
-        allFiles.filter { p =>
-          val name = new Path(p.asInstanceOf[BtrInputPartition].file).getName
-          byName.get(name).forall(cols => !ZonePredEval.rejects(zones, cols))
+  private def plannedFiles: Array[InputPartition] = {
+    var p = plannedCache
+    if (p == null) {
+      val az = activeZones
+      p =
+        if (az.isEmpty) allFiles
+        else graft.format.ZoneIndex.read(
+          SparkSession.active.sparkContext.hadoopConfiguration, dir) match {
+          case Some(entries) =>
+            val byName = entries.map(e => e.file -> e.cols).toMap
+            allFiles.filter { ip =>
+              val name = new Path(ip.asInstanceOf[BtrInputPartition].file).getName
+              byName.get(name).forall(cols => !ZonePredEval.rejects(az, cols))
+            }
+          case None => allFiles
         }
-      case None => allFiles
+      plannedCache = p
     }
+    p
+  }
 
   override def planInputPartitions(): Array[InputPartition] = plannedFiles
 
@@ -409,7 +452,68 @@ class BtrScan(
     val spark = SparkSession.active
     val confB = ConfShim.broadcast(spark.sparkContext)
     val colIdx = required.fieldNames.map(n => fullSchema.fieldIndex(n))
-    BtrReaderFactory(confB, colIdx, zones, limit)
+    val f = BtrReaderFactory(confB, colIdx, zones, limit)
+    f.extraZones = runtimeZones
+    factoryRef = f
+    f
+  }
+}
+
+/** Translates Spark's runtime V2 predicates (IN / = over one column with
+  * literal values, the shape dynamic pruning produces from a broadcast
+  * build side) into zone predicates. Oversized numeric sets degrade to
+  * their sound [min,max] hull; anything untranslatable is simply not used
+  * for skipping (Spark still applies the real join).
+  */
+object RuntimePredTranslator {
+  import org.apache.spark.sql.connector.expressions.{Expression => VExpr, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
+  // LiteralValue is private[sql] in Spark 4; Literal is the public face
+  private type LitV = org.apache.spark.sql.connector.expressions.Literal[_]
+
+  private final val MaxExactSet = 1024
+
+  def toZone(schema: StructType, p: Predicate): Option[ZonePred] = {
+    def colIdx(e: VExpr): Option[Int] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        val i = schema.fieldNames.indexOf(nr.fieldNames()(0))
+        if (i >= 0) Some(i) else None
+      case _ => None
+    }
+    p.name() match {
+      case "IN" | "=" =>
+        val ch = p.children()
+        if (ch.length < 1) return None
+        colIdx(ch(0)).flatMap { c =>
+          val raw = ch.drop(1)
+          if (!raw.forall(_.isInstanceOf[LitV])) return None
+          val vals = raw.map(_.asInstanceOf[LitV].value).toSeq
+          schema.fields(c).dataType match {
+            case IntegerType =>
+              val vs = vals.collect { case n: Number => n.longValue }
+              if (vs.length != vals.length) None
+              else if (vs.length <= MaxExactSet) Some(LongInZonePred(c, vs))
+              else Some(LongZonePred(c, vs.min, vs.max))
+            case DoubleType =>
+              if (!vals.forall(_.isInstanceOf[Number])) None
+              else {
+                // NaN members never match zoned (NaN-free) chunks
+                val vs = vals.collect { case n: Number if !n.doubleValue.isNaN => n.doubleValue }
+                if (vs.length <= MaxExactSet) Some(DoubleInZonePred(c, vs))
+                else Some(DoubleZonePred(c, vs.min, vs.max))
+              }
+            case StringType =>
+              val vs = vals.collect {
+                case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+                case s: String => s
+              }
+              if (vs.length != vals.length || vs.length > MaxExactSet) None
+              else Some(StringInZonePred(c, vs))
+            case _ => None
+          }
+        }
+      case _ => None
+    }
   }
 }
 
@@ -569,10 +673,19 @@ case class BtrReaderFactory(
     zones: Array[ZonePred],
     limit: Int = -1)
   extends PartitionReaderFactory {
+
+  /** Runtime (join-driven) zone predicates, late-bound by BtrScan.filter():
+    * Spark builds this factory during planning but serializes it to tasks
+    * only after runtime filters fire, so mutations here reach every reader.
+    */
+  @volatile var extraZones: Array[ZonePred] = Array.empty
+
+  private def allZones: Array[ZonePred] = zones ++ extraZones
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new BtrPartitionReader(
       partition.asInstanceOf[BtrInputPartition].file, ConfShim.conf(confB),
-      requiredIdx, zones, limit)
+      requiredIdx, allZones, limit)
 
   /** Decoded chunks are columnar arrays already — hand them to Spark as
     * ColumnarBatches (vectorized operators, zero per-value boxing).
@@ -582,7 +695,7 @@ case class BtrReaderFactory(
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
     new BtrColumnarReader(
       partition.asInstanceOf[BtrInputPartition].file, ConfShim.conf(confB),
-      requiredIdx, zones, limit)
+      requiredIdx, allZones, limit)
 }
 
 /** Streams one block file chunk-by-chunk (bounded memory — the reference's

@@ -583,6 +583,83 @@ class BtrSourceSpec extends AnyFunSuite {
     assert(back(0).cols(3).kind == 0)
   }
 
+  test("runtime join filtering (DPP analog): broadcast build keys prune files and chunks") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val dir = tmp("runtimef")
+    val df = (0 until 8192).map(i => (i, f"k$i%05d")).toDF("id", "s")
+    BlockFiles.write(df, dir, BtrConfig(blockSize = 256), rangeCols = Seq("id"))
+
+    val fact = spark.read.format("btr").load(dir)
+    // classic DPP shape: the build side is a real source with a selective
+    // filter (a LocalRelation would fold the filter away and Spark skips
+    // runtime pruning without a selective build-side predicate)
+    val dimDir = tmp("runtimef_dim")
+    (0 until 100)
+      .map(i => (i * 37, if (i == 3 || i == 87) "keep" else s"other$i"))
+      .toDF("k", "tag").write.mode("overwrite").parquet(dimDir)
+    val dimF = spark.read.parquet(dimDir).where(col("tag") === "keep") // keys 111, 3219
+    val q = fact.join(broadcast(dimF), fact("id") === dimF("k"))
+    val rows = q.collect()
+    assert(rows.map(_.getInt(0)).sorted.toSeq == Seq(111, 3219))
+
+    def allScans(p: SparkPlan): Seq[BatchScanExec] = {
+      val here = p match { case b: BatchScanExec => Seq(b); case _ => Nil }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case qs: QueryStageExec => Seq(qs.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case other => other.children
+      }
+      here ++ kids.flatMap(allScans)
+    }
+    val scans = allScans(q.queryExecution.executedPlan)
+    assert(scans.nonEmpty, s"btr scan expected:\n${q.queryExecution.executedPlan}")
+    val scan = scans.head
+    assert(scan.runtimeFilters.nonEmpty,
+      s"Spark must inject the runtime filter for the broadcast join:\n${q.queryExecution.executedPlan}")
+    // the build keys became zone predicates: only the 2 matching chunks
+    // decode, everything else is skipped (or whole files pruned first)
+    val out = scan.metrics.get("numOutputRows").map(_.value).getOrElse(-1L)
+    assert(out >= 2 && out <= 1024, s"runtime pruning must bound decoded rows: $out of 8192")
+    assert(scan.metrics.get("chunksSkipped").exists(_.value >= 0))
+  }
+
+  test("runtime predicate translation: IN/= over each column type") {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("i", IntegerType, false),
+      StructField("d", DoubleType, false),
+      StructField("s", StringType, false)))
+    // build IN predicates through the public literal factory
+    val litI = Expressions.literal(7)
+    val litI2 = Expressions.literal(9)
+    val pIn = new Predicate("IN", Array(Expressions.column("i"), litI, litI2))
+    val z = RuntimePredTranslator.toZone(schema, pIn)
+    assert(z.contains(LongInZonePred(0, Seq(7L, 9L))), s"got $z")
+    assert(z.get.asInstanceOf[LongInZonePred].skip(10, 20), "7,9 miss [10,20]")
+    assert(!z.get.asInstanceOf[LongInZonePred].skip(5, 8), "7 hits [5,8]")
+
+    val pEq = new Predicate("=", Array(Expressions.column("s"), Expressions.literal("abc")))
+    val zs = RuntimePredTranslator.toZone(schema, pEq)
+    assert(zs.contains(StringInZonePred(2, Seq("abc"))), s"got $zs")
+
+    val pD = new Predicate("IN", Array(Expressions.column("d"), Expressions.literal(1.5)))
+    val zd = RuntimePredTranslator.toZone(schema, pD)
+    assert(zd.contains(DoubleInZonePred(1, Seq(1.5))), s"got $zd")
+
+    // untranslatable shapes are ignored, not errors
+    assert(RuntimePredTranslator.toZone(schema,
+      new Predicate(">", Array(Expressions.column("i"), litI))).isEmpty)
+    assert(RuntimePredTranslator.toZone(schema,
+      new Predicate("IN", Array(Expressions.column("nope"), litI))).isEmpty)
+  }
+
   test("range-partitioned blocks write") {
     import spark.implicits._
     val dir = tmp("range")
