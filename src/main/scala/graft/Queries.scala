@@ -422,6 +422,25 @@ object Queries {
       count(lit(1)).as("n_rows"))
   }
 
+  /** Runtime join filtering through the DSv2 source: the btr fact table is
+    * broadcast-joined to a selectively filtered parquet dim — the DPP shape
+    * where Spark hands the build keys to the scan (SupportsRuntimeV2
+    * Filtering) and files/chunks that cannot match are never read. Oracle =
+    * the same join in DuckDB.
+    */
+  private def qJoinRuntime(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(
+      col("doc_id").cast("int").as("doc_id"), col("lang"), col("source"))
+    val out = cachedBtr(s, s"q_prune_src_${math.abs(dir.hashCode)}", docs)(
+      graft.engine.BlockFiles.write(docs, _, BtrConfig.default, rangeCols = Seq("doc_id")))
+    val fact = s.read.format("btr").load(out)
+    val dim = t(s, dir, "documents")
+      .select(col("doc_id").cast("int").as("k"), col("source").as("dim_source"))
+      .where(col("dim_source") === "src3" && col("k") < 50)
+    fact.join(broadcast(dim), fact("doc_id") === dim("k"))
+      .select(col("doc_id"), col("lang"), col("dim_source"))
+  }
+
   // -------------------------------------------- training-data pipeline ops
 
   private def docsWithId(s: SparkSession, dir: String): DataFrame =
@@ -593,6 +612,7 @@ object Queries {
     "q_prune_typed" -> (qPruneTyped _),
     "q_prune_in" -> (qPruneIn _),
     "q_agg_push" -> (qAggPush _),
+    "q_join_runtime" -> (qJoinRuntime _),
     "rt_csv" -> (rtCsv _),
     "rt_source" -> (rtSource _),
     "rt_write_source" -> (rtWriteSource _),
@@ -670,6 +690,10 @@ object Queries {
     "q_agg_push" ->
       ("SELECT CAST(MIN(doc_id) AS INTEGER) AS min_doc, CAST(MAX(doc_id) AS INTEGER) AS max_doc, " +
         "MIN(lang) AS min_lang, MAX(lang) AS max_lang, COUNT(*) AS n_rows FROM documents"),
+    "q_join_runtime" ->
+      ("SELECT CAST(a.doc_id AS INTEGER) AS doc_id, a.lang, b.source AS dim_source " +
+        "FROM documents a JOIN documents b ON a.doc_id = b.doc_id " +
+        "WHERE b.source = 'src3' AND b.doc_id < 50"),
     // per-column encode health booleans (floors chosen conservatively per
     // scheme family; see encStats) — closed-form truth table
     "enc_stats" ->

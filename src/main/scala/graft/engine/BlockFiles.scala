@@ -16,9 +16,9 @@ import java.nio.charset.StandardCharsets.UTF_8
   * with per-column byte lengths so a reader can skip (prune) columns
   * without decoding them. Schema/stats live in the same JSON manifest.
   *
-  * Frame layout per chunk (v3):
-  *   [i32 numRows][u8 nCols]
-  *   [per col: u8 colType, i32 blobLen, u8 zoneKind, zone payload]
+  * Frame layout per chunk (v4):
+  *   [i32 numRows][u8 nCols][i32 headerCrc]
+  *   [per col: u8 colType, i32 blobLen, i32 blobCrc, u8 zoneKind, zone payload]
   *   [col blobs…]
   * zoneKind: 0 = none; 1 = long [i64 min][i64 max]; 2 = double
   * [f64bits min][f64bits max]; 3 = string [u8 len][bytes][u8 len][bytes]
@@ -26,12 +26,21 @@ import java.nio.charset.StandardCharsets.UTF_8
   * The per-column zone maps let a reader skip whole chunks against pushed
   * range filters without touching their blobs — data skipping the
   * reference's scan lacks entirely (/root/reference/src/datafusion.rs:64-73).
-  * v1 (no zones) and v2 (int-only zones) frames remain readable.
-  * File header: "BTRS" magic + u8 version.
+  *
+  * CHECKSUMS (v4): headerCrc is CRC32C over the per-column meta section
+  * (everything between headerCrc and the first blob); blobCrc is CRC32C of
+  * that column's blob. At 100 TB a flipped bit in a zone map would
+  * silently SKIP matching chunks and a flipped blob byte would silently
+  * corrupt decoded values — the CRCs turn both into a contextual error.
+  * A reader verifies exactly what it touches: the header always, each blob
+  * only when actually read (pruned/skipped bytes stay unread).
+  *
+  * v1 (no zones), v2 (int-only zones) and v3 (typed zones, no CRC) frames
+  * remain readable. File header: "BTRS" magic + u8 version.
   */
 object BlockFiles {
   final val Magic = 0x53525442 // "BTRS" little-endian
-  final val Version = 3
+  final val Version = 4
 
   /** One encoded chunk as a self-contained frame plus its stats — the unit
     * that the compressed range exchange shuffles (a frame is ~ratio×
@@ -46,16 +55,16 @@ object BlockFiles {
       pid: Int, rawBytes: Long, encBytes: Long, numRows: Long,
       zones: Option[IndexedSeq[graft.format.ColZone]])
 
-  /** Serialize one chunk's column parts into a v3 frame. */
+  /** Serialize one chunk's column parts into a v4 frame (CRC'd). */
   def frameChunk(chunkParts: Seq[CompressedPart]): Frame = {
     var rawBytes = 0L
     var encBytes = 0L
-    var size = 4 + 1
+    var size = 4 + 1 + 4 // numRows, nCols, headerCrc
     val zones = new Array[Array[Byte]](chunkParts.length)
     var i = 0
     chunkParts.foreach { p =>
       zones(i) = zonePayload(p) // includes its leading zoneKind byte
-      size += 1 + 4 + zones(i).length + p.bytes.length
+      size += 1 + 4 + 4 + zones(i).length + p.bytes.length
       rawBytes += p.rawBytes
       encBytes += p.bytes.length
       i += 1
@@ -70,15 +79,28 @@ object BlockFiles {
     }
     i32(chunkParts.head.numRows)
     u8(chunkParts.length)
+    val crcSlot = o
+    i32(0) // headerCrc patched below
+    val metaStart = o
     i = 0
     chunkParts.foreach { p =>
       u8(p.colType)
       i32(p.bytes.length)
+      val bc = new java.util.zip.CRC32C
+      bc.update(p.bytes)
+      i32(bc.getValue.toInt)
       val z = zones(i)
       System.arraycopy(z, 0, out, o, z.length)
       o += z.length
       i += 1
     }
+    val hc = new java.util.zip.CRC32C
+    hc.update(out, metaStart, o - metaStart)
+    val hv = hc.getValue.toInt
+    out(crcSlot) = hv.toByte
+    out(crcSlot + 1) = (hv >>> 8).toByte
+    out(crcSlot + 2) = (hv >>> 16).toByte
+    out(crcSlot + 3) = (hv >>> 24).toByte
     chunkParts.foreach { p =>
       System.arraycopy(p.bytes, 0, out, o, p.bytes.length)
       o += p.bytes.length

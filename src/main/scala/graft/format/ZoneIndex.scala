@@ -132,10 +132,11 @@ object ZoneIndex {
 }
 
 /** Folds per-frame (chunk) zone maps into one file-level zone per column by
-  * parsing v3 frame headers from their serialized bytes — the single fold
+  * parsing v4 frame headers from their serialized bytes — the single fold
   * implementation shared by every writer (RDD block writer, compressed
-  * exchange reducer, DSv2 DataWriter). A column whose ANY chunk lacks a
-  * zone folds to kind 0 (unprunable), and pre-v3 frames disable the fold.
+  * exchange reducer, DSv2 DataWriter; writers only ever produce the
+  * current frame version). A column whose ANY chunk lacks a zone folds to
+  * kind 0 (unprunable).
   */
 final class ZoneAccumulator {
   private var nCols = -1
@@ -153,6 +154,7 @@ final class ZoneAccumulator {
     def i32(): Int = u8() | (u8() << 8) | (u8() << 16) | (u8() << 24)
     def i64(): Long = (i32().toLong & 0xffffffffL) | (i32().toLong << 32)
     val n = u8()
+    p += 4 // skip i32 headerCrc (v4)
     if (nCols < 0) {
       nCols = n
       kind = Array.fill(n)(-1)
@@ -163,6 +165,7 @@ final class ZoneAccumulator {
     while (c < n) {
       u8() // colType
       i32() // blobLen
+      i32() // blobCrc (v4)
       u8() match {
         case 0 => kind(c) = 0
         case k @ (1 | 2) =>

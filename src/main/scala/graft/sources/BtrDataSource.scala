@@ -376,7 +376,10 @@ class BtrScan(
   private def activeZones: Array[ZonePred] = zones ++ runtimeZones
 
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    fullSchema.fieldNames.map(org.apache.spark.sql.connector.expressions.Expressions.column)
+    // only the columns this scan OUTPUTS: Spark resolves these against the
+    // (column-pruned) relation output, and an unresolvable name is an
+    // AnalysisException, not a skipped optimization
+    required.fieldNames.map(org.apache.spark.sql.connector.expressions.Expressions.column)
 
   override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
     val zs = predicates.flatMap(RuntimePredTranslator.toZone(fullSchema, _))
@@ -786,6 +789,16 @@ final class ChunkCursor(
               case t if t == ColType.String.toInt =>
                 StringCodec.decodeSlices(new BufReader(blob)) // arena, no per-string arrays
             }
+            // guards the one header field no CRC covers (numRows): a flip
+            // there would silently truncate or over-read the chunk
+            val n = decoded(out) match {
+              case a: Array[Int]     => a.length
+              case a: Array[Double]  => a.length
+              case d: DecodedStrings => d.count
+            }
+            if (n != chunkRows)
+              throw new java.io.IOException(
+                s"corrupt btr block: column $c decoded $n values but the frame declares $chunkRows rows in ${fr.where}")
           }
           c += 1
         }

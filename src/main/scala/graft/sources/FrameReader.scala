@@ -31,12 +31,16 @@ final class FrameReader(file: String, conf: org.apache.hadoop.conf.Configuration
   var nCols = 0
   var colType: Array[Int] = Array.empty
   var blobLen: Array[Int] = Array.empty
+  var blobCrc: Array[Int] = Array.empty // v4 only
   var zKind: Array[Int] = Array.empty
   var zLongMin: Array[Long] = Array.empty // long zones; double zones as raw bits
   var zLongMax: Array[Long] = Array.empty
   var zStrMin: Array[Array[Byte]] = Array.empty
   var zStrMax: Array[Array[Byte]] = Array.empty
   private var nextBlob = 0
+
+  /** Where the reader is, for errors and cross-layer context. */
+  def where: String = s"$file (chunk #$chunkIndex)"
 
   private def fail(msg: String, cause: Throwable = null): Nothing =
     throw new java.io.IOException(
@@ -50,10 +54,15 @@ final class FrameReader(file: String, conf: org.apache.hadoop.conf.Configuration
       case e: IndexOutOfBoundsException => fail(s"$what: ${e.getMessage}", e)
     }
 
+  // v4 header checksum: every meta byte read while `crcOn` feeds the CRC
+  private val crc = new java.util.zip.CRC32C
+  private var crcOn = false
+
   private def u8(what: String): Int = {
     val b = in.read()
     if (b < 0) fail(s"truncated while reading $what (end of file)")
     pos += 1
+    if (crcOn) crc.update(b)
     b
   }
 
@@ -61,6 +70,7 @@ final class FrameReader(file: String, conf: org.apache.hadoop.conf.Configuration
   private def i32(what: String): Int = guarded(what) {
     in.readFully(b4)
     pos += 4
+    if (crcOn) crc.update(b4, 0, 4)
     (b4(0) & 0xff) | ((b4(1) & 0xff) << 8) | ((b4(2) & 0xff) << 16) | ((b4(3) & 0xff) << 24)
   }
 
@@ -86,21 +96,25 @@ final class FrameReader(file: String, conf: org.apache.hadoop.conf.Configuration
     if (numRows <= 0) fail(s"invalid chunk row count $numRows")
     nCols = u8("column count")
     if (nCols == 0) fail("zero columns in chunk")
+    val expectedHeaderCrc = if (version >= 4) i32("header checksum") else 0
     if (colType.length < nCols) {
       colType = new Array[Int](nCols)
       blobLen = new Array[Int](nCols)
+      blobCrc = new Array[Int](nCols)
       zKind = new Array[Int](nCols)
       zLongMin = new Array[Long](nCols)
       zLongMax = new Array[Long](nCols)
       zStrMin = new Array[Array[Byte]](nCols)
       zStrMax = new Array[Array[Byte]](nCols)
     }
+    if (version >= 4) { crc.reset(); crcOn = true }
     var blobs = 0L
     var c = 0
     while (c < nCols) {
       colType(c) = u8(s"column $c type")
       blobLen(c) = i32(s"column $c blob length")
       if (blobLen(c) < 0) fail(s"negative blob length ${blobLen(c)} for column $c")
+      if (version >= 4) blobCrc(c) = i32(s"column $c blob checksum")
       blobs += blobLen(c)
       version match {
         case 1 => zKind(c) = 0
@@ -121,14 +135,21 @@ final class FrameReader(file: String, conf: org.apache.hadoop.conf.Configuration
               zKind(c) = 3
               val mn = new Array[Byte](u8(s"column $c zone min length"))
               guarded(s"column $c zone min")(in.readFully(mn)); pos += mn.length
+              if (crcOn) crc.update(mn)
               val mx = new Array[Byte](u8(s"column $c zone max length"))
               guarded(s"column $c zone max")(in.readFully(mx)); pos += mx.length
+              if (crcOn) crc.update(mx)
               zStrMin(c) = mn
               zStrMax(c) = mx
             case k => fail(s"bad zoneKind $k for column $c")
           }
       }
       c += 1
+    }
+    if (version >= 4) {
+      crcOn = false
+      if (crc.getValue.toInt != expectedHeaderCrc)
+        fail(f"frame header checksum mismatch (stored 0x$expectedHeaderCrc%08x, computed 0x${crc.getValue.toInt}%08x) — corrupt zone maps or column meta")
     }
     // catch truncation before any blob read: the declared blob bytes must
     // fit in the file
@@ -139,7 +160,8 @@ final class FrameReader(file: String, conf: org.apache.hadoop.conf.Configuration
   }
 
   /** Read column `c`'s blob; preceding unread blobs are seeked over without
-    * touching memory. Columns must be requested in ascending order.
+    * touching memory. Columns must be requested in ascending order. v4
+    * blobs are checksum-verified — a silent bit flip becomes a named error.
     */
   def readBlob(c: Int): Array[Byte] = {
     require(c >= nextBlob && c < nCols, s"blob $c out of order (next=$nextBlob, nCols=$nCols)")
@@ -151,6 +173,12 @@ final class FrameReader(file: String, conf: org.apache.hadoop.conf.Configuration
     guarded(s"column $c blob (${blobLen(c)} bytes)")(in.readFully(b))
     pos += blobLen(c)
     nextBlob = c + 1
+    if (version >= 4) {
+      val bc = new java.util.zip.CRC32C
+      bc.update(b)
+      if (bc.getValue.toInt != blobCrc(c))
+        fail(f"column $c blob checksum mismatch (stored 0x${blobCrc(c)}%08x, computed 0x${bc.getValue.toInt}%08x) — corrupt data")
+    }
     b
   }
 

@@ -469,6 +469,52 @@ class BtrSourceSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("part-00001") && e2.getMessage.contains("not a btr block file"),
       s"magic check must name the file: ${e2.getMessage}")
+
+    // a SILENT bit flip deep inside the file (zone map, meta, or blob) is
+    // caught by the v4 CRCs as a named checksum error, never wrong data
+    val ff = new Path(tPath, "part-00002")
+    val os3 = fs.create(ff, true)
+    val flipped2 = bytes.clone()
+    flipped2(bytes.length * 3 / 5) = (flipped2(bytes.length * 3 / 5) ^ 0x10).toByte
+    os3.write(flipped2)
+    os3.close()
+    val e3 = intercept[java.io.IOException] {
+      val r = new BtrPartitionReader(ff.toString, conf, Array(0, 1), Array.empty)
+      try while (r.next()) () finally r.close()
+    }
+    assert(e3.getMessage.contains("part-00002") &&
+      (e3.getMessage.contains("checksum mismatch") || e3.getMessage.contains("corrupt")),
+      s"bit flip must surface as a named corruption: ${e3.getMessage}")
+  }
+
+  test("v3 block frames (typed zones, no CRC) stay readable") {
+    import org.apache.hadoop.fs.Path
+    val dir = tmp("v3compat")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(s"$dir/blocks").getFileSystem(conf)
+    fs.mkdirs(new Path(s"$dir/blocks"))
+    // hand-craft a v3 frame: one chunk, one int column with a long zone,
+    // NO header/blob CRCs
+    val blob = graft.codec.IntCodec.encode(Array(7, 8, 9), BtrConfig.default)
+    val out = new java.io.ByteArrayOutputStream()
+    def i32(v: Int): Unit = (0 until 4).foreach(k => out.write((v >>> (8 * k)) & 0xff))
+    def i64(v: Long): Unit = { i32(v.toInt); i32((v >>> 32).toInt) }
+    i32(BlockFiles.Magic); out.write(3) // version 3
+    i32(3); out.write(1) // numRows=3, nCols=1
+    out.write(graft.codec.ColType.Integer); i32(blob.length)
+    out.write(1); i64(7L); i64(9L) // zoneKind=1 long [7,9]
+    out.write(blob)
+    val os = fs.create(new Path(s"$dir/blocks/part-00000"), true)
+    os.write(out.toByteArray); os.close()
+    val m = graft.format.BtrManifest(
+      columns = Seq(graft.format.ColumnMeta("v", graft.codec.ColType.Integer)),
+      numPartitions = 1, blockSize = 65536, maxCascadeDepth = 3,
+      numRows = 3, rawBytes = 12, encBytes = blob.length, completedPartitions = Seq(0))
+    graft.engine.BtrTable.writeManifest(spark, dir, m)
+    val back = spark.read.format("btr").load(dir)
+    assert(back.collect().map(_.getInt(0)).sorted.toSeq == Seq(7, 8, 9))
+    // the v3 zone still prunes
+    assert(back.where(col("v") > 100).collect().isEmpty)
   }
 
   test("failed overwrite leaves the previous table intact (staged swap)") {
