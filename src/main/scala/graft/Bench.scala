@@ -323,7 +323,10 @@ object Bench {
     // driver rounds, keyed on row count + build fingerprint)
     locally {
       val marker = new java.io.File(inputPath, "_GRAFT_GEN")
-      val stamp = s"$benchRows ${BuildFingerprint.value}"
+      // cpus is part of the stamp: the input is pre-split to cpus*2 files,
+      // and reusing a smaller split count at a higher level would starve
+      // the 4N scan side and corrupt the scaling measurement
+      val stamp = s"$benchRows $cpus ${BuildFingerprint.value}"
       val cached =
         try marker.exists && new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == stamp
         catch { case _: Exception => false }

@@ -40,6 +40,11 @@ object ChunkEncoder {
     val out = new BufWriter(len * 4 + 64)
     DoubleCodec.encode(out, v, 0, len, cfg.maxCascadeDepth, cfg)
     val bytes = out.result()
+    // total-order extrema (java.lang.Double.compare): IEEE < treats
+    // -0.0 == 0.0, which would store a zone min of 0.0 for a chunk holding
+    // -0.0 — pruning wouldn't care (they compare equal) but the MIN/MAX
+    // aggregate pushdown reads zones as exact under Spark's total order,
+    // where -0.0 < 0.0
     var mn = Double.PositiveInfinity
     var mx = Double.NegativeInfinity
     var sawNaN = false
@@ -47,7 +52,10 @@ object ChunkEncoder {
     while (i < len) {
       val x = v(i)
       if (x.isNaN) sawNaN = true
-      else { if (x < mn) mn = x; if (x > mx) mx = x }
+      else {
+        if (java.lang.Double.compare(x, mn) < 0) mn = x
+        if (java.lang.Double.compare(x, mx) > 0) mx = x
+      }
       i += 1
     }
     val hasRange = len > 0 && !sawNaN && mn <= mx

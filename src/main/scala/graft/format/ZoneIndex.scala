@@ -176,9 +176,12 @@ final class ZoneAccumulator {
               if (mn < lmin(c)) lmin(c) = mn
               if (mx > lmax(c)) lmax(c) = mx
             } else {
-              // double bits: compare as doubles (zones never contain NaN)
-              if (java.lang.Double.longBitsToDouble(mn) < java.lang.Double.longBitsToDouble(lmin(c))) lmin(c) = mn
-              if (java.lang.Double.longBitsToDouble(mx) > java.lang.Double.longBitsToDouble(lmax(c))) lmax(c) = mx
+              // double bits: total-order compare (zones never contain NaN;
+              // keeps -0.0 < 0.0 exact, matching the chunk zones)
+              if (java.lang.Double.compare(java.lang.Double.longBitsToDouble(mn),
+                java.lang.Double.longBitsToDouble(lmin(c))) < 0) lmin(c) = mn
+              if (java.lang.Double.compare(java.lang.Double.longBitsToDouble(mx),
+                java.lang.Double.longBitsToDouble(lmax(c))) > 0) lmax(c) = mx
             }
           } else kind(c) = 0
         case 3 =>

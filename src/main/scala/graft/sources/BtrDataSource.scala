@@ -76,13 +76,21 @@ class BtrBatchTable(dir: String, schema: StructType)
 }
 
 /** Zone predicate on one file column (by file column index): decides from a
-  * chunk's zone map [min, max] whether the chunk can be skipped whole.
+  * zone map [min, max] (chunk-level frame zone or file-level index entry)
+  * whether that unit can be skipped whole. `rejects` is the SINGLE dispatch
+  * point shared by both pruning levels — kind: 1 long, 2 double (raw bits
+  * in the long args), 3 string; anything else never skips.
   */
-sealed trait ZonePred extends Serializable { def colIdx: Int }
+sealed trait ZonePred extends Serializable {
+  def colIdx: Int
+  def rejects(kind: Int, lmin: Long, lmax: Long, smin: Array[Byte], smax: Array[Byte]): Boolean
+}
 
 /** Inclusive [lo, hi] over an int column's long zone. */
 case class LongZonePred(colIdx: Int, lo: Long, hi: Long) extends ZonePred {
   def skip(mn: Long, mx: Long): Boolean = mx < lo || mn > hi
+  def rejects(kind: Int, lmin: Long, lmax: Long, smin: Array[Byte], smax: Array[Byte]): Boolean =
+    kind == 1 && skip(lmin, lmax)
 }
 
 /** Inclusive [lo, hi] over a double column's zone (zone never covers NaN —
@@ -90,6 +98,8 @@ case class LongZonePred(colIdx: Int, lo: Long, hi: Long) extends ZonePred {
   */
 case class DoubleZonePred(colIdx: Int, lo: Double, hi: Double) extends ZonePred {
   def skip(mn: Double, mx: Double): Boolean = mx < lo || mn > hi
+  def rejects(kind: Int, lmin: Long, lmax: Long, smin: Array[Byte], smax: Array[Byte]): Boolean =
+    kind == 2 && skip(java.lang.Double.longBitsToDouble(lmin), java.lang.Double.longBitsToDouble(lmax))
 }
 
 object StrOp { val GT = 0; val GTE = 1; val LT = 2; val LTE = 3; val EQ = 4 }
@@ -113,6 +123,8 @@ case class StringZonePred(colIdx: Int, op: Int, v: String) extends ZonePred {
       case StrOp.EQ  => cmp(vb, mn) < 0 || cmp(vb, mx) > 0
     }
   }
+  def rejects(kind: Int, lmin: Long, lmax: Long, smin: Array[Byte], smax: Array[Byte]): Boolean =
+    kind == 3 && skip(smin, smax)
 }
 
 /** IN-set zone predicates: skip a chunk when EVERY set member misses its
@@ -122,10 +134,14 @@ case class StringZonePred(colIdx: Int, op: Int, v: String) extends ZonePred {
   */
 case class LongInZonePred(colIdx: Int, vs: Seq[Long]) extends ZonePred {
   def skip(mn: Long, mx: Long): Boolean = vs.forall(v => v < mn || v > mx)
+  def rejects(kind: Int, lmin: Long, lmax: Long, smin: Array[Byte], smax: Array[Byte]): Boolean =
+    kind == 1 && skip(lmin, lmax)
 }
 
 case class DoubleInZonePred(colIdx: Int, vs: Seq[Double]) extends ZonePred {
   def skip(mn: Double, mx: Double): Boolean = vs.forall(v => v < mn || v > mx)
+  def rejects(kind: Int, lmin: Long, lmax: Long, smin: Array[Byte], smax: Array[Byte]): Boolean =
+    kind == 2 && skip(java.lang.Double.longBitsToDouble(lmin), java.lang.Double.longBitsToDouble(lmax))
 }
 
 case class StringInZonePred(colIdx: Int, vs: Seq[String]) extends ZonePred {
@@ -134,7 +150,28 @@ case class StringInZonePred(colIdx: Int, vs: Seq[String]) extends ZonePred {
   def skip(mn: Array[Byte], mx: Array[Byte]): Boolean =
     bs.forall(b => java.util.Arrays.compareUnsigned(b, mn) < 0 ||
       java.util.Arrays.compareUnsigned(b, mx) > 0)
+  def rejects(kind: Int, lmin: Long, lmax: Long, smin: Array[Byte], smax: Array[Byte]): Boolean =
+    kind == 3 && skip(smin, smax)
 }
+
+/** Sound [lo, hi] hull over a string zone — the degrade shape for IN sets
+  * too large to check per value (skip only when the whole hull misses).
+  */
+case class StringHullZonePred(colIdx: Int, lo: String, hi: String) extends ZonePred {
+  @transient private lazy val lob: Array[Byte] = lo.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  @transient private lazy val hib: Array[Byte] = hi.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  def skip(mn: Array[Byte], mx: Array[Byte]): Boolean =
+    java.util.Arrays.compareUnsigned(hib, mn) < 0 ||
+      java.util.Arrays.compareUnsigned(lob, mx) > 0
+  def rejects(kind: Int, lmin: Long, lmax: Long, smin: Array[Byte], smax: Array[Byte]): Boolean =
+    kind == 3 && skip(smin, smax)
+}
+
+/** One shared size policy for exact-set zone checks: beyond this, numeric
+  * sets degrade to their [min,max] hull and string sets to a string hull
+  * (both sound — a SUBSET would over-skip).
+  */
+object ZonePred { final val MaxExactSet = 1024 }
 
 class BtrScanBuilder(dir: String, fullSchema: StructType)
   extends ScanBuilder
@@ -213,14 +250,14 @@ class BtrScanBuilder(dir: String, fullSchema: StructType)
     // ---- IN sets: skip when every member misses the zone. Columns are
     // non-nullable, so null members can never match and drop out of the
     // feasible set; a non-integral member can never equal an int row.
-    // Large sets keep a SOUND approximation: the [min,max] hull for
-    // numerics (never a subset — dropping members would over-skip).
+    // Sets beyond MaxExactSet keep a SOUND approximation: the [min,max]
+    // hull (never a subset — dropping members would over-skip).
     case In(a, values) if values != null && colOf(a, IntegerType).isDefined &&
         values.forall(v => v == null || v.isInstanceOf[Number]) =>
       val vs = values.toSeq.collect {
         case v: Number if lowAtLeast(v) == highAtMost(v) => lowAtLeast(v)
       }
-      if (values.length <= 64) colOf(a, IntegerType).map(LongInZonePred(_, vs))
+      if (values.length <= ZonePred.MaxExactSet) colOf(a, IntegerType).map(LongInZonePred(_, vs))
       else if (vs.nonEmpty) colOf(a, IntegerType).map(LongZonePred(_, vs.min, vs.max))
       else None
     case In(a, values) if values != null && colOf(a, DoubleType).isDefined &&
@@ -228,14 +265,14 @@ class BtrScanBuilder(dir: String, fullSchema: StructType)
       // NaN members only match NaN rows, and NaN-containing chunks carry no
       // zone (never skipped) — so NaN members are irrelevant to skipping
       val vs = values.toSeq.collect { case v: Number if !v.doubleValue.isNaN => v.doubleValue }
-      if (values.length <= 64) colOf(a, DoubleType).map(DoubleInZonePred(_, vs))
+      if (values.length <= ZonePred.MaxExactSet) colOf(a, DoubleType).map(DoubleInZonePred(_, vs))
       else if (vs.nonEmpty) colOf(a, DoubleType).map(DoubleZonePred(_, vs.min, vs.max))
       else None
-    case In(a, values) if values != null && values.length <= 64 &&
-        colOf(a, StringType).isDefined &&
+    case In(a, values) if values != null && colOf(a, StringType).isDefined &&
         values.forall(v => v == null || v.isInstanceOf[String]) =>
-      colOf(a, StringType).map(StringInZonePred(_,
-        values.toSeq.collect { case v: String => v }))
+      val vs = values.toSeq.collect { case v: String => v }
+      if (vs.length <= ZonePred.MaxExactSet) colOf(a, StringType).map(StringInZonePred(_, vs))
+      else colOf(a, StringType).map(StringHullZonePred(_, vs.min, vs.max))
     case _ => None
   }
 
@@ -300,35 +337,15 @@ sealed trait AggSpec extends Serializable
 case object CountSpec extends AggSpec
 case class MinMaxSpec(colIdx: Int, isMin: Boolean) extends AggSpec
 
-/** Evaluates pushed zone predicates against a FILE-level ColZone row (the
-  * same skip() logic the chunk-level readers apply to frame zones).
+/** Evaluates pushed zone predicates against a FILE-level ColZone row via
+  * the same `ZonePred.rejects` dispatch the chunk-level readers use.
   */
 object ZonePredEval {
   def rejects(preds: Array[ZonePred], cols: IndexedSeq[graft.format.ColZone]): Boolean =
     preds.exists { pr =>
       pr.colIdx < cols.length && {
         val z = cols(pr.colIdx)
-        z.kind match {
-          case 1 => pr match {
-            case p: LongZonePred   => p.skip(z.lmin, z.lmax)
-            case p: LongInZonePred => p.skip(z.lmin, z.lmax)
-            case _                 => false
-          }
-          case 2 =>
-            val mn = java.lang.Double.longBitsToDouble(z.lmin)
-            val mx = java.lang.Double.longBitsToDouble(z.lmax)
-            pr match {
-              case p: DoubleZonePred   => p.skip(mn, mx)
-              case p: DoubleInZonePred => p.skip(mn, mx)
-              case _                   => false
-            }
-          case 3 => pr match {
-            case p: StringZonePred   => p.skip(z.smin, z.smax)
-            case p: StringInZonePred => p.skip(z.smin, z.smax)
-            case _                   => false
-          }
-          case _ => false
-        }
+        pr.rejects(z.kind, z.lmin, z.lmax, z.smin, z.smax)
       }
     }
 }
@@ -474,7 +491,7 @@ object RuntimePredTranslator {
   // LiteralValue is private[sql] in Spark 4; Literal is the public face
   private type LitV = org.apache.spark.sql.connector.expressions.Literal[_]
 
-  private final val MaxExactSet = 1024
+  private final val MaxExactSet = ZonePred.MaxExactSet
 
   def toZone(schema: StructType, p: Predicate): Option[ZonePred] = {
     def colIdx(e: VExpr): Option[Int] = e match {
@@ -506,11 +523,22 @@ object RuntimePredTranslator {
                 else Some(DoubleZonePred(c, vs.min, vs.max))
               }
             case StringType =>
-              val vs = vals.collect {
-                case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+              // runtime keys arrive as UTF8String RAW BYTES, which need not
+              // be valid UTF-8; a lossy toString (invalid sequence -> U+FFFD)
+              // would build a pred whose bytes differ from the row's and
+              // wrongly SKIP matching chunks. Keep the pred only when every
+              // value survives the bytes->String->bytes round trip — else
+              // no pruning from this predicate at all (dropping just the bad
+              // value would be a subset, which over-skips).
+              val vs = vals.map {
+                case s: org.apache.spark.unsafe.types.UTF8String =>
+                  val str = s.toString
+                  if (org.apache.spark.unsafe.types.UTF8String.fromString(str).equals(s)) str
+                  else null
                 case s: String => s
+                case _ => null
               }
-              if (vs.length != vals.length || vs.length > MaxExactSet) None
+              if (vs.contains(null) || vs.length > MaxExactSet) None
               else Some(StringInZonePred(c, vs))
             case _ => None
           }
@@ -662,6 +690,11 @@ class BtrAggReader(file: String, conf: org.apache.hadoop.conf.Configuration, spe
         val d = StringCodec.decodeSlices(new BufReader(blob))
         var i = 0
         while (i < d.count) { foldBytes(acc, s, d.copy(i), isMin); i += 1 }
+      case t =>
+        // pre-CRC (v1-v3) files have no header checksum to catch a flipped
+        // type byte — name the block instead of a bare MatchError
+        throw new java.io.IOException(
+          s"corrupt btr block file $file: unknown column type $t in aggregate fallback")
     }
 
   override def get(): InternalRow = row
@@ -734,31 +767,13 @@ final class ChunkCursor(
     a
   }
 
-  /** Do column c's preds reject the current chunk, given its parsed zone? */
+  /** Do column c's preds reject the current chunk, given its parsed zone?
+    * Single shared dispatch (`ZonePred.rejects`) with the file-level path.
+    */
   private def zoneRejects(c: Int): Boolean = {
     val preds = zonesByCol.getOrElse(c, null)
-    if (preds == null) return false
-    fr.zKind(c) match {
-      case 1 => preds.exists {
-        case p: LongZonePred   => p.skip(fr.zLongMin(c), fr.zLongMax(c))
-        case p: LongInZonePred => p.skip(fr.zLongMin(c), fr.zLongMax(c))
-        case _                 => false
-      }
-      case 2 =>
-        val mn = java.lang.Double.longBitsToDouble(fr.zLongMin(c))
-        val mx = java.lang.Double.longBitsToDouble(fr.zLongMax(c))
-        preds.exists {
-          case p: DoubleZonePred   => p.skip(mn, mx)
-          case p: DoubleInZonePred => p.skip(mn, mx)
-          case _                   => false
-        }
-      case 3 => preds.exists {
-        case p: StringZonePred   => p.skip(fr.zStrMin(c), fr.zStrMax(c))
-        case p: StringInZonePred => p.skip(fr.zStrMin(c), fr.zStrMax(c))
-        case _                   => false
-      }
-      case _ => false
-    }
+    preds != null && preds.exists(
+      _.rejects(fr.zKind(c), fr.zLongMin(c), fr.zLongMax(c), fr.zStrMin(c), fr.zStrMax(c)))
   }
 
   /** Advance to the next chunk that survives zone skipping and decode its

@@ -704,6 +704,51 @@ class BtrSourceSpec extends AnyFunSuite {
       new Predicate(">", Array(Expressions.column("i"), litI))).isEmpty)
     assert(RuntimePredTranslator.toZone(schema,
       new Predicate("IN", Array(Expressions.column("nope"), litI))).isEmpty)
+
+    // a runtime string key with INVALID UTF-8 bytes cannot round-trip
+    // through String — the whole predicate must be dropped (pruning with a
+    // lossily-transcoded comparand would wrongly skip the matching chunk)
+    val badUtf8 = org.apache.spark.unsafe.types.UTF8String.fromBytes(Array(0xC3.toByte))
+    val goodUtf8 = org.apache.spark.unsafe.types.UTF8String.fromString("ok")
+    assert(RuntimePredTranslator.toZone(schema,
+      new Predicate("IN", Array(Expressions.column("s"),
+        Expressions.literal(badUtf8), Expressions.literal(goodUtf8)))).isEmpty,
+      "invalid-UTF-8 member must drop the whole predicate")
+    assert(RuntimePredTranslator.toZone(schema,
+      new Predicate("=", Array(Expressions.column("s"), Expressions.literal(goodUtf8))))
+      .contains(StringInZonePred(2, Seq("ok"))))
+
+    // oversized-set hull predicate is sound
+    val hull = StringHullZonePred(0, "b", "d")
+    assert(hull.skip("e".getBytes("UTF-8"), "f".getBytes("UTF-8")), "zone above hull")
+    assert(hull.skip("0".getBytes("UTF-8"), "a".getBytes("UTF-8")), "zone below hull")
+    assert(!hull.skip("c".getBytes("UTF-8"), "z".getBytes("UTF-8")), "overlap keeps")
+  }
+
+  test("min/max pushdown matches Spark's own result bit-for-bit on signed zeros") {
+    import spark.implicits._
+    // NOTE: Spark normalizes -0.0 to 0.0 at UnsafeRow materialization, so
+    // a -0.0 literal never reaches the table through a Spark pipeline; the
+    // contract to pin is BIT parity between the zone-answered aggregate and
+    // Spark's own aggregation over the identical data. (The encoder still
+    // computes total-order extrema so a codec-level -0.0 — reachable via
+    // the kernel API — folds exactly.)
+    val dir = tmp("signedzero")
+    val df = Seq((1, 0.0), (2, -0.0), (3, 1.5), (4, -2.25)).toDF("id", "d")
+    BlockFiles.write(df, dir, BtrConfig.default)
+    val ours = spark.read.format("btr").load(dir).agg(min("d"), max("d")).head()
+    val ref = df.agg(min("d"), max("d")).head()
+    assert(java.lang.Double.doubleToRawLongBits(ours.getDouble(0)) ==
+      java.lang.Double.doubleToRawLongBits(ref.getDouble(0)),
+      s"min parity: ours=${ours.getDouble(0)} spark=${ref.getDouble(0)}")
+    assert(java.lang.Double.doubleToRawLongBits(ours.getDouble(1)) ==
+      java.lang.Double.doubleToRawLongBits(ref.getDouble(1)))
+    // codec-level: total-order extrema on a chunk that really holds -0.0
+    val part = graft.engine.ChunkEncoder.encodeDouble(0, 0, 0L, 0, "d",
+      Array(0.0, -0.0, 3.5), 3, BtrConfig.default)
+    assert(part.minDouble.exists(m => java.lang.Double.doubleToRawLongBits(m) ==
+      java.lang.Double.doubleToRawLongBits(-0.0)), s"zone min: ${part.minDouble}")
+    assert(part.maxDouble.contains(3.5))
   }
 
   test("range-partitioned blocks write") {
