@@ -69,6 +69,31 @@ object Cli {
       spark.sql(args(2)).show(100, truncate = false)
     case "stats" =>
       BtrTable.stats(spark, args(1)).show(1000, truncate = false)
+    case "describe" =>
+      // ops view: manifest summary + the file-level zone index (what the
+      // planner prunes with), per file per column
+      val m = BtrTable.readManifest(spark, args(1))
+      println(s"columns=${m.columns.map(c => s"${c.name}:${ColType.name(c.colType)}").mkString(",")}")
+      println(s"rows=${m.numRows} partitions=${m.numPartitions} blockSize=${m.blockSize} " +
+        s"raw=${m.rawBytes} enc=${m.encBytes} ratio=${f"${m.ratio}%.3f"}")
+      graft.format.ZoneIndex.read(spark.sparkContext.hadoopConfiguration, args(1)) match {
+        case Some(entries) =>
+          println(s"file-level zone index: ${entries.length} files")
+          entries.sortBy(_.file).foreach { e =>
+            val zs = e.cols.zipWithIndex.map { case (z, c) =>
+              val name = if (c < m.columns.length) m.columns(c).name else s"col$c"
+              z.kind match {
+                case 1 => s"$name=[${z.lmin},${z.lmax}]"
+                case 2 => s"$name=[${java.lang.Double.longBitsToDouble(z.lmin)}," +
+                  s"${java.lang.Double.longBitsToDouble(z.lmax)}]"
+                case 3 => s"$name=[${new String(z.smin, "UTF-8")},${new String(z.smax, "UTF-8")}]"
+                case _ => s"$name=-"
+              }
+            }
+            println(s"  ${e.file}: ${zs.mkString(" ")}")
+          }
+        case None => println("file-level zone index: none (parts layout or pre-index table)")
+      }
     case "verify" =>
       import org.apache.spark.sql.functions._
       val original = spark.read.parquet(args(1))
@@ -87,5 +112,5 @@ object Cli {
   }
 
   private def usage(): Unit =
-    println("usage: graft.Cli encode|decode|from-csv|to-csv|print-csv|query|stats|verify ...")
+    println("usage: graft.Cli encode|decode|from-csv|to-csv|print-csv|query|stats|describe|verify ...")
 }

@@ -37,4 +37,11 @@ object ColType {
   val Integer: Byte = 0
   val Double: Byte = 1
   val String: Byte = 2
+
+  def name(t: Int): String = t match {
+    case 0 => "int"
+    case 1 => "double"
+    case 2 => "string"
+    case other => s"type$other"
+  }
 }

@@ -487,6 +487,61 @@ class BtrSourceSpec extends AnyFunSuite {
       s"bit flip must surface as a named corruption: ${e3.getMessage}")
   }
 
+  test("corruption property: any single flipped byte yields a named error or untouched data, never silent wrong rows") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val dir = tmp("fuzz")
+    val df = (0 until 1500).map(i => (i, s"value_$i", i * 0.25)).toDF("id", "s", "d")
+    BlockFiles.write(df, dir, BtrConfig(blockSize = 256))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(s"$dir/blocks").getFileSystem(conf)
+    val orig = fs.listStatus(new Path(s"$dir/blocks"))
+      .map(_.getPath).filter(_.getName.startsWith("part-")).minBy(_.getName)
+    val bytes = { val in = fs.open(orig); try in.readAllBytes() finally in.close() }
+
+    def readAllRows(file: String): Seq[(Int, String, Double)] = {
+      val r = new BtrPartitionReader(file, conf, Array(0, 1, 2), Array.empty)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Double)]
+      try while (r.next()) {
+        val row = r.get()
+        buf += ((row.getInt(0), row.getUTF8String(1).toString, row.getDouble(2)))
+      } finally r.close()
+      buf.toSeq
+    }
+    val clean = readAllRows(orig.toString)
+    assert(clean.nonEmpty)
+
+    val rnd = new scala.util.Random(91)
+    val fuzzDir = new Path(s"$dir/fuzz")
+    fs.mkdirs(fuzzDir)
+    var named = 0
+    var intact = 0
+    for (trial <- 0 until 48) {
+      val posn = rnd.nextInt(bytes.length)
+      val mutated = bytes.clone()
+      mutated(posn) = (mutated(posn) ^ (1 << rnd.nextInt(8))).toByte
+      val f = new Path(fuzzDir, f"part-$trial%05d")
+      val os = fs.create(f, true)
+      os.write(mutated)
+      os.close()
+      try {
+        val got = readAllRows(f.toString)
+        // no error -> the flip must not have changed a single value
+        // (e.g. it landed in a byte the reader never touches)
+        assert(got == clean,
+          s"flip at byte $posn produced silently different data (trial $trial)")
+        intact += 1
+      } catch {
+        case e: java.io.IOException =>
+          assert(e.getMessage != null && e.getMessage.contains(f"part-$trial%05d"),
+            s"error must name the file (trial $trial, byte $posn): ${e.getMessage}")
+          named += 1
+      }
+    }
+    // the CRCs make detection the overwhelmingly common outcome
+    assert(named > 30, s"most flips must be detected: named=$named intact=$intact")
+  }
+
   test("v3 block frames (typed zones, no CRC) stay readable") {
     import org.apache.hadoop.fs.Path
     val dir = tmp("v3compat")
