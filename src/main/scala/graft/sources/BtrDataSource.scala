@@ -225,6 +225,13 @@ class BtrScanBuilder(dir: String, fullSchema: StructType)
     case EqualTo(a, v: Number) if colOf(a, IntegerType).isDefined =>
       // non-integral equality can match no int row: empty range skips all
       colOf(a, IntegerType).map(LongZonePred(_, lowAtLeast(v), highAtMost(v)))
+    // EqualNullSafe over non-null columns (the table model) is EqualTo
+    case EqualNullSafe(a, v: Number) if colOf(a, IntegerType).isDefined =>
+      colOf(a, IntegerType).map(LongZonePred(_, lowAtLeast(v), highAtMost(v)))
+    case EqualNullSafe(a, v: Number) if v != null && !v.doubleValue.isNaN =>
+      colOf(a, DoubleType).map(DoubleZonePred(_, v.doubleValue, v.doubleValue))
+    case EqualNullSafe(a, v: String) if v != null =>
+      colOf(a, StringType).map(StringZonePred(_, StrOp.EQ, v))
     // ---- double columns: open bounds via IEEE next-up/down (exact)
     case GreaterThan(a, v: Number) if !v.doubleValue.isNaN =>
       colOf(a, DoubleType).map(DoubleZonePred(_, Math.nextUp(v.doubleValue), Double.PositiveInfinity))

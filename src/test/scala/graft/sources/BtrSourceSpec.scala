@@ -245,6 +245,12 @@ class BtrSourceSpec extends AnyFunSuite {
       "string equality filter must reach the scan")
     assert(qs.collect().map(_.getInt(0)).toSeq == Seq(4321))
 
+    // null-safe equality pushes identically (columns are non-null)
+    val qn = spark.read.format("btr").load(dir).where(col("s") <=> "k04321")
+    assert(qn.queryExecution.executedPlan.toString.contains("zoneFilters=s:"),
+      "EqualNullSafe must reach the scan")
+    assert(qn.collect().map(_.getInt(0)).toSeq == Seq(4321))
+
     // reader-level evidence for both predicate kinds
     import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration
