@@ -672,6 +672,38 @@ class BtrSourceSpec extends AnyFunSuite {
     assert(spark.read.format("btr").load(dir).where(col("id") === 777).count() == 0)
   }
 
+  test("ZoneAccumulator fold over frame bytes equals the parts' own zones") {
+    // the accumulator re-parses the serialized frame layout; if frameChunk's
+    // byte layout ever drifts (as it did v3 -> v4), this pins the parity
+    import graft.engine.ChunkEncoder
+    import java.nio.charset.StandardCharsets.UTF_8
+    val cfg = BtrConfig.default
+    def chunk(base: Int) = Seq(
+      ChunkEncoder.encodeInt(0, 0, 0L, 0, "i", Array(base, base + 5, base + 9), 3, cfg),
+      ChunkEncoder.encodeDouble(0, 0, 0L, 1, "d", Array(base * 1.5, base * 2.5, base * 0.5), 3, cfg),
+      ChunkEncoder.encodeString(0, 0, 0L, 2, "s",
+        Array(s"a$base".getBytes(UTF_8), s"z$base".getBytes(UTF_8), "m".getBytes(UTF_8)), 3, cfg))
+    val acc = new graft.format.ZoneAccumulator
+    acc.fold(BlockFiles.frameChunk(chunk(100)).bytes)
+    acc.fold(BlockFiles.frameChunk(chunk(40)).bytes)
+    val zs = acc.result().get
+    assert(zs(0).kind == 1 && zs(0).lmin == 40 && zs(0).lmax == 109, s"int fold: ${zs(0)}")
+    assert(zs(1).kind == 2)
+    assert(java.lang.Double.longBitsToDouble(zs(1).lmin) == 20.0, "double min 40*0.5")
+    assert(java.lang.Double.longBitsToDouble(zs(1).lmax) == 250.0, "double max 100*2.5")
+    assert(zs(2).kind == 3)
+    assert(new String(zs(2).smin, UTF_8) == "a100" && new String(zs(2).smax, UTF_8) == "z40",
+      s"string fold: [${new String(zs(2).smin, UTF_8)}, ${new String(zs(2).smax, UTF_8)}]")
+    // a zone-less chunk (long strings) kills only that column
+    val longs = Array(("x" * 100).getBytes(UTF_8), ("y" * 100).getBytes(UTF_8))
+    val acc2 = new graft.format.ZoneAccumulator
+    acc2.fold(BlockFiles.frameChunk(Seq(
+      ChunkEncoder.encodeInt(0, 0, 0L, 0, "i", Array(1, 2), 2, cfg),
+      ChunkEncoder.encodeString(0, 0, 0L, 1, "t", longs, 2, cfg))).bytes)
+    val zs2 = acc2.result().get
+    assert(zs2(0).kind == 1 && zs2(1).kind == 0)
+  }
+
   test("zone index binary round-trip") {
     import graft.format._
     val entries = Seq(
