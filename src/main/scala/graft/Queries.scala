@@ -477,22 +477,25 @@ object Queries {
     * DuckDB-expressible (BIGINT multiply overflows instead of wrapping),
     * so the driver checks the operator's defining PROPERTIES on planted
     * data instead of raw values: identical text under a different id (and
-    * computed in a different task) fingerprints identically, different
-    * text differently. Exact fingerprint values are pinned in OpsSpec.
+    * computed in a different task) fingerprints identically; text with a
+    * DISJOINT 8-gram set (the uppercased rendering — every byte differs)
+    * fingerprints differently. The fingerprint is a min-hash sketch over
+    * byte 8-grams, so two different-but-same-vocabulary texts may
+    * legitimately share it — a neighbor-doc comparison collided at
+    * sf0.001. Exact fingerprint values are pinned in OpsSpec.
     */
   private def textFingerprint(s: SparkSession, dir: String): DataFrame = {
     val fps = withPlantedExact(docsWithId(s, dir))
-      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"),
+        TextOps.fingerprint(upper(col("text"))).as("fp_upper"))
     val orig = fps.filter(col("doc_id") < 20)
     val copies = fps.filter(col("doc_id") >= 1000000L)
       .select((col("doc_id") - 1000000L).as("doc_id"), col("fp").as("fp_copy"))
-    val next = fps.filter(col("doc_id") < 20)
-      .select(pmod(col("doc_id") + 19, lit(20)).as("doc_id"), col("fp").as("fp_next"))
-    orig.join(copies, "doc_id").join(next, "doc_id")
+    orig.join(copies, "doc_id")
       .select(
         col("doc_id"),
         (col("fp") === col("fp_copy")).as("fp_stable"),
-        (col("fp") =!= col("fp_next")).as("fp_distinct"))
+        (col("fp") =!= col("fp_upper")).as("fp_distinct"))
   }
 
   private def textMd5(s: SparkSession, dir: String): DataFrame =
