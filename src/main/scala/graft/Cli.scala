@@ -16,6 +16,7 @@ import org.apache.spark.sql.SparkSession
   *   spark-submit --class graft.Cli app.jar print-csv <in.btr> [limit]
   *   spark-submit --class graft.Cli app.jar query <in.btr> <sql with table `btr`>
   *   spark-submit --class graft.Cli app.jar stats <in.btr>
+  *   spark-submit --class graft.Cli app.jar describe <in.btr>
   *   spark-submit --class graft.Cli app.jar verify <in.parquet> <in.btr> <joinKey>
   */
 object Cli {

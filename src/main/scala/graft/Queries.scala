@@ -478,8 +478,10 @@ object Queries {
     * so the driver checks the operator's defining PROPERTIES on planted
     * data instead of raw values: identical text under a different id (and
     * computed in a different task) fingerprints identically; text with a
-    * DISJOINT 8-gram set (the uppercased rendering — every byte differs)
-    * fingerprints differently. The fingerprint is a min-hash sketch over
+    * DISJOINT 8-gram set (the uppercased rendering — the synthetic corpus
+    * is lowercase words with single spaces, so every 8-gram contains a
+    * letter and flips under upper()) fingerprints differently. The
+    * fingerprint is a min-hash sketch over
     * byte 8-grams, so two different-but-same-vocabulary texts may
     * legitimately share it — a neighbor-doc comparison collided at
     * sf0.001. Exact fingerprint values are pinned in OpsSpec.

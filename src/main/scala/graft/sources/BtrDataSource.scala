@@ -228,9 +228,9 @@ class BtrScanBuilder(dir: String, fullSchema: StructType)
     // EqualNullSafe over non-null columns (the table model) is EqualTo
     case EqualNullSafe(a, v: Number) if colOf(a, IntegerType).isDefined =>
       colOf(a, IntegerType).map(LongZonePred(_, lowAtLeast(v), highAtMost(v)))
-    case EqualNullSafe(a, v: Number) if v != null && !v.doubleValue.isNaN =>
+    case EqualNullSafe(a, v: Number) if !v.doubleValue.isNaN =>
       colOf(a, DoubleType).map(DoubleZonePred(_, v.doubleValue, v.doubleValue))
-    case EqualNullSafe(a, v: String) if v != null =>
+    case EqualNullSafe(a, v: String) =>
       colOf(a, StringType).map(StringZonePred(_, StrOp.EQ, v))
     // ---- double columns: open bounds via IEEE next-up/down (exact)
     case GreaterThan(a, v: Number) if !v.doubleValue.isNaN =>
