@@ -441,6 +441,42 @@ object Queries {
       .select(col("doc_id"), col("lang"), col("dim_source"))
   }
 
+  /** Null-extension round trip (round-5; the reference model is non-null,
+    * SURVEY §1.2 — this engine extends it): NULLs injected into all three
+    * types, written through the DSv2 path (v5 frames carry per-chunk
+    * validity bitmaps; zones cover non-nulls), read back via the source.
+    * Oracle = the same CASE projection in DuckDB (identity round trip,
+    * null positions included in the hash compare).
+    */
+  private def rtNulls(s: SparkSession, dir: String): DataFrame = {
+    val docs = nullDocs(s, dir)
+    val out = cachedBtr(s, s"rt_nulls_${math.abs(dir.hashCode)}", docs)(o =>
+      docs.write.format("btr").mode("overwrite").option("rangeCols", "doc_id").save(o))
+    s.read.format("btr").load(out)
+  }
+
+  private def nullDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").selectExpr(
+      "CAST(doc_id AS INT) AS doc_id",
+      "CASE WHEN doc_id % 7 = 0 THEN NULL ELSE CAST(n_chars AS INT) END AS n_chars_n",
+      "CASE WHEN doc_id % 5 = 0 THEN NULL ELSE CAST(n_chars AS DOUBLE) * 0.5 END AS score_n",
+      "CASE WHEN doc_id % 3 = 0 THEN NULL ELSE lang END AS lang_n")
+
+  /** IS NULL pushdown through the DSv2 source: the predicate reaches the
+    * scan as a null-statistics zone predicate — null-free FILES drop at
+    * planning (v2 zone index carries per-file null totals) and null-free
+    * CHUNKS are skipped by their exact frame null counts. Oracle = plain
+    * WHERE ... IS NULL.
+    */
+  private def qPruneNull(s: SparkSession, dir: String): DataFrame = {
+    val docs = nullDocs(s, dir)
+    val out = cachedBtr(s, s"rt_nulls_${math.abs(dir.hashCode)}", docs)(o =>
+      docs.write.format("btr").mode("overwrite").option("rangeCols", "doc_id").save(o))
+    s.read.format("btr").load(out)
+      .where(col("n_chars_n").isNull && col("doc_id") < 700)
+      .select("doc_id", "score_n", "lang_n")
+  }
+
   // -------------------------------------------- training-data pipeline ops
 
   private def docsWithId(s: SparkSession, dir: String): DataFrame =
@@ -619,6 +655,8 @@ object Queries {
     "q_agg_push" -> (qAggPush _),
     "q_join_runtime" -> (qJoinRuntime _),
     "rt_csv" -> (rtCsv _),
+    "rt_nulls" -> (rtNulls _),
+    "q_prune_null" -> (qPruneNull _),
     "rt_source" -> (rtSource _),
     "rt_write_source" -> (rtWriteSource _),
     "rt_csv_view" -> (rtCsvView _),
@@ -714,6 +752,17 @@ object Queries {
     "ann_ivf" ->
       ("SELECT CAST(vec_id AS BIGINT) AS query_id, CAST(vec_id + 1000000 AS BIGINT) AS corpus_id, " +
         "1.0 AS cosine FROM embeddings WHERE vec_id < 5"),
+    "rt_nulls" ->
+      ("SELECT CAST(doc_id AS INTEGER) AS doc_id, " +
+        "CASE WHEN doc_id % 7 = 0 THEN NULL ELSE CAST(n_chars AS INTEGER) END AS n_chars_n, " +
+        "CASE WHEN doc_id % 5 = 0 THEN NULL ELSE CAST(n_chars AS DOUBLE) * 0.5 END AS score_n, " +
+        "CASE WHEN doc_id % 3 = 0 THEN NULL ELSE lang END AS lang_n " +
+        "FROM documents"),
+    "q_prune_null" ->
+      ("SELECT CAST(doc_id AS INTEGER) AS doc_id, " +
+        "CASE WHEN doc_id % 5 = 0 THEN NULL ELSE CAST(n_chars AS DOUBLE) * 0.5 END AS score_n, " +
+        "CASE WHEN doc_id % 3 = 0 THEN NULL ELSE lang END AS lang_n " +
+        "FROM documents WHERE doc_id % 7 = 0 AND doc_id < 700"),
     "rt_source" ->
       "SELECT CAST(doc_id AS INTEGER) AS doc_id, lang FROM documents",
     "rt_write_source" ->

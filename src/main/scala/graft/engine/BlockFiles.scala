@@ -16,31 +16,40 @@ import java.nio.charset.StandardCharsets.UTF_8
   * with per-column byte lengths so a reader can skip (prune) columns
   * without decoding them. Schema/stats live in the same JSON manifest.
   *
-  * Frame layout per chunk (v4):
+  * Frame layout per chunk (v5):
   *   [i32 numRows][u8 nCols][i32 headerCrc]
-  *   [per col: u8 colType, i32 blobLen, i32 blobCrc, u8 zoneKind, zone payload]
+  *   [per col: u8 colType, i32 blobLen, i32 blobCrc, u8 zoneKind,
+  *    zone payload, i32 nullCount, validity bitmap (⌈numRows/8⌉ bytes,
+  *    present iff nullCount > 0; bit i set = row i NULL)]
   *   [col blobs…]
   * zoneKind: 0 = none; 1 = long [i64 min][i64 max]; 2 = double
   * [f64bits min][f64bits max]; 3 = string [u8 len][bytes][u8 len][bytes]
   * (UTF-8, each ≤ 64 bytes — longer extrema are dropped, not truncated).
+  * With nulls present, zones cover the NON-NULL values only (null rows
+  * store placeholders in the blob and can never satisfy a comparison).
   * The per-column zone maps let a reader skip whole chunks against pushed
   * range filters without touching their blobs — data skipping the
   * reference's scan lacks entirely (/root/reference/src/datafusion.rs:64-73).
   *
-  * CHECKSUMS (v4): headerCrc is CRC32C over the per-column meta section
-  * (everything between headerCrc and the first blob); blobCrc is CRC32C of
-  * that column's blob. At 100 TB a flipped bit in a zone map would
+  * CHECKSUMS: blobCrc is CRC32C of that column's blob. v5 headerCrc is
+  * CRC32C over the WHOLE frame header — numRows, nCols, and the per-column
+  * meta section (zones + validity bitmaps) — closing the v4 gap where
+  * numRows/nCols were unchecked and a bit flip in numRows could feed a
+  * silently wrong COUNT(*) through the header-only aggregate reader
+  * (round-4 advice #1; v4's crc starts after its own slot and covers only
+  * the meta section). At 100 TB a flipped bit in a zone map would
   * silently SKIP matching chunks and a flipped blob byte would silently
   * corrupt decoded values — the CRCs turn both into a contextual error.
   * A reader verifies exactly what it touches: the header always, each blob
   * only when actually read (pruned/skipped bytes stay unread).
   *
-  * v1 (no zones), v2 (int-only zones) and v3 (typed zones, no CRC) frames
-  * remain readable. File header: "BTRS" magic + u8 version.
+  * v1 (no zones), v2 (int-only zones), v3 (typed zones, no CRC) and v4
+  * (CRC, no nulls, meta-only headerCrc) frames remain readable. File
+  * header: "BTRS" magic + u8 version.
   */
 object BlockFiles {
   final val Magic = 0x53525442 // "BTRS" little-endian
-  final val Version = 4
+  final val Version = 5
 
   /** One encoded chunk as a self-contained frame plus its stats — the unit
     * that the compressed range exchange shuffles (a frame is ~ratio×
@@ -55,7 +64,7 @@ object BlockFiles {
       pid: Int, rawBytes: Long, encBytes: Long, numRows: Long,
       zones: Option[IndexedSeq[graft.format.ColZone]])
 
-  /** Serialize one chunk's column parts into a v4 frame (CRC'd). */
+  /** Serialize one chunk's column parts into a v5 frame (CRC'd, nullable). */
   def frameChunk(chunkParts: Seq[CompressedPart]): Frame = {
     var rawBytes = 0L
     var encBytes = 0L
@@ -64,7 +73,8 @@ object BlockFiles {
     var i = 0
     chunkParts.foreach { p =>
       zones(i) = zonePayload(p) // includes its leading zoneKind byte
-      size += 1 + 4 + 4 + zones(i).length + p.bytes.length
+      size += 1 + 4 + 4 + zones(i).length + 4 + p.bytes.length
+      if (p.nullCount > 0) size += (p.numRows + 7) >> 3
       rawBytes += p.rawBytes
       encBytes += p.bytes.length
       i += 1
@@ -77,7 +87,8 @@ object BlockFiles {
       out(o + 2) = (v >>> 16).toByte; out(o + 3) = (v >>> 24).toByte
       o += 4
     }
-    i32(chunkParts.head.numRows)
+    val numRows = chunkParts.head.numRows
+    i32(numRows)
     u8(chunkParts.length)
     val crcSlot = o
     i32(0) // headerCrc patched below
@@ -92,9 +103,23 @@ object BlockFiles {
       val z = zones(i)
       System.arraycopy(z, 0, out, o, z.length)
       o += z.length
+      i32(p.nullCount)
+      if (p.nullCount > 0) {
+        val bm = p.nullBits
+        val want = (numRows + 7) >> 3
+        require(bm != null && bm.length == want,
+          s"column ${p.colName}: nullCount=${p.nullCount} but bitmap is " +
+            s"${if (bm == null) "absent" else s"${bm.length} bytes"} (want $want)")
+        System.arraycopy(bm, 0, out, o, bm.length)
+        o += bm.length
+      }
       i += 1
     }
+    // v5: headerCrc covers the frame from its first byte — numRows + nCols
+    // + the whole meta section (v4 covered only the meta section, leaving
+    // the COUNT(*) source unprotected)
     val hc = new java.util.zip.CRC32C
+    hc.update(out, 0, 5)
     hc.update(out, metaStart, o - metaStart)
     val hv = hc.getValue.toInt
     out(crcSlot) = hv.toByte
@@ -212,7 +237,7 @@ object BlockFiles {
       ZoneIndex.write(spark.sparkContext.hadoopConfiguration, dir, entries.toSeq)
 
     val m = BtrManifest(
-      columns = schema.fields.zip(colTypes).map { case (f, t) => ColumnMeta(f.name, t) }.toSeq,
+      columns = schema.fields.zip(colTypes).map { case (f, t) => ColumnMeta(f.name, t, f.nullable) }.toSeq,
       numPartitions = stats.length,
       blockSize = cfg.blockSize,
       maxCascadeDepth = cfg.maxCascadeDepth,

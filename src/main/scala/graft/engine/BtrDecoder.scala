@@ -47,9 +47,13 @@ object BtrDecoder {
     case ColType.String  => StringCodec.decode(new BufReader(p.bytes))
   }
 
-  /** One decoded chunk streaming its rows into a reused InternalRow. */
+  /** One decoded chunk streaming its rows into a reused InternalRow.
+    * `nullBits(c)` (bit i set = row i NULL) masks the placeholder values
+    * the encoder stored at null positions; null slot = no nulls.
+    */
   private final class ChunkRows(
       decoded: Array[AnyRef],
+      nullBits: Array[Array[Byte]],
       numRows: Int) extends Iterator[InternalRow] {
     private val nOut = decoded.length
     private val row = new GenericInternalRow(nOut)
@@ -58,11 +62,15 @@ object BtrDecoder {
     override def next(): InternalRow = {
       var c = 0
       while (c < nOut) {
-        row.update(c, decoded(c) match {
-          case a: Array[Int]                  => a(r)
-          case a: Array[Double]               => a(r)
-          case d: graft.codec.DecodedStrings  => UTF8String.fromBytes(d.data, d.starts(r), d.lens(r))
-        })
+        val nb = nullBits(c)
+        if (nb != null && ((nb(r >> 3) >> (r & 7)) & 1) == 1)
+          row.update(c, null)
+        else
+          row.update(c, decoded(c) match {
+            case a: Array[Int]                  => a(r)
+            case a: Array[Double]               => a(r)
+            case d: graft.codec.DecodedStrings  => UTF8String.fromBytes(d.data, d.starts(r), d.lens(r))
+          })
         c += 1
       }
       r += 1
@@ -72,7 +80,8 @@ object BtrDecoder {
 
   /** Groups key-sorted part rows into chunks, decodes, streams rows. Input
     * row layout (fixed by the select in decode):
-    * 0=partitionId 1=chunkIdx 2=colName 3=colType 4=numRows 5=bytes.
+    * 0=partitionId 1=chunkIdx 2=colName 3=colType 4=numRows 5=bytes
+    * 6=nullCount 7=nullBits.
     */
   private final class DecodeIterator(
       it: Iterator[InternalRow],
@@ -80,7 +89,7 @@ object BtrDecoder {
       nOut: Int) extends Iterator[InternalRow] {
     private var current: Iterator[InternalRow] = Iterator.empty
     private var pendingKey = -1L
-    private var pendingParts: Array[(Int, Int, Array[Byte])] = null // (out, type, bytes)
+    private var pendingParts: Array[(Int, Int, Array[Byte], Array[Byte])] = null // (out, type, bytes, nullBits)
     private var pendingRows = 0
     private var pendingCount = 0
 
@@ -88,7 +97,8 @@ object BtrDecoder {
       val name = r.getUTF8String(2).toString
       val out = nameToOut.getOrElse(name, -1)
       if (out >= 0) {
-        pendingParts(out) = (out, r.getInt(3), r.getBinary(5))
+        val bits = if (r.getInt(6) > 0 && !r.isNullAt(7)) r.getBinary(7) else null
+        pendingParts(out) = (out, r.getInt(3), r.getBinary(5), bits)
         pendingCount += 1
       }
       pendingRows = r.getInt(4)
@@ -101,6 +111,7 @@ object BtrDecoder {
         s"chunk (partition ${(pendingKey >> 32).toInt}, chunk ${pendingKey.toInt}) has " +
           s"$pendingCount of $nOut selected column parts — parts dir incomplete or duplicated")
       val decoded = new Array[AnyRef](nOut)
+      val nullBits = new Array[Array[Byte]](nOut)
       var i = 0
       while (i < nOut) {
         val p = pendingParts(i)
@@ -110,12 +121,13 @@ object BtrDecoder {
           case ColType.Double  => DoubleCodec.decode(new BufReader(p._3))
           case ColType.String  => StringCodec.decodeSlices(new BufReader(p._3))
         }
+        nullBits(i) = p._4
         i += 1
       }
       val rows = pendingRows
       pendingParts = null
       pendingCount = 0
-      new ChunkRows(decoded, rows)
+      new ChunkRows(decoded, nullBits, rows)
     }
 
     override def hasNext: Boolean = current.hasNext || pendingParts != null || it.hasNext
@@ -125,7 +137,7 @@ object BtrDecoder {
         if (pendingParts == null) {
           val r = it.next()
           pendingKey = (r.getInt(0).toLong << 32) | (r.getInt(1).toLong & 0xffffffffL)
-          pendingParts = new Array[(Int, Int, Array[Byte])](nOut)
+          pendingParts = new Array[(Int, Int, Array[Byte], Array[Byte])](nOut)
           stash(r)
         }
         var chunkDone = false
@@ -137,7 +149,7 @@ object BtrDecoder {
             // sorted input: a new key closes the current chunk
             val finished = buildChunk()
             pendingKey = key
-            pendingParts = new Array[(Int, Int, Array[Byte])](nOut)
+            pendingParts = new Array[(Int, Int, Array[Byte], Array[Byte])](nOut)
             stash(r)
             current = finished
             chunkDone = true
@@ -153,7 +165,7 @@ object BtrDecoder {
       parts: Dataset[CompressedPart],
       columns: Seq[ColumnMeta]): DataFrame = {
     val outSchema = StructType(
-      columns.map(c => StructField(c.name, sparkType(c.colType), nullable = false)))
+      columns.map(c => StructField(c.name, sparkType(c.colType), nullable = c.nullable)))
     val wantedNames = columns.map(_.name)
     val spark = parts.sparkSession
     val nameToOut: Map[String, Int] = wantedNames.zipWithIndex.toMap
@@ -161,7 +173,8 @@ object BtrDecoder {
     val n = spark.sessionState.conf.numShufflePartitions
     val slim = parts.toDF()
       .filter(col("colName").isin(wantedNames: _*))
-      .select("partitionId", "chunkIdx", "colName", "colType", "numRows", "bytes")
+      .select("partitionId", "chunkIdx", "colName", "colType", "numRows", "bytes",
+        "nullCount", "nullBits")
       .repartition(n, col("partitionId"), col("chunkIdx"))
       .sortWithinPartitions("partitionId", "chunkIdx")
     val rdd = slim.queryExecution.toRdd.mapPartitions { it =>

@@ -17,9 +17,14 @@ import org.apache.spark.sql.types._
   * chunk-by-chunk so task memory is bounded by blockSize × row width —
   * the property that lets this run on 100 TB inputs.
   *
-  * Nulls are rejected explicitly: the reference's effective model is
-  * non-null columns (SURVEY §1.2; CSV ingest substitutes defaults,
-  * /root/reference/src/btrblocks.rs:434,:458,:479).
+  * Nulls: the reference's effective model is non-null columns (SURVEY
+  * §1.2; its CSV ingest substitutes defaults,
+  * /root/reference/src/btrblocks.rs:434,:458,:479 — the C++ library's
+  * roaring null bitmaps are linked at build.rs:87-89 but never surfaced).
+  * This engine EXTENDS the model (round-5): a column DECLARED nullable
+  * carries a per-chunk validity bitmap (ChunkBuilder), zones cover
+  * non-null values only, and decode restores SQL NULLs; a non-nullable
+  * column keeps the reference's fail-fast rejection.
   */
 object BtrEncoder {
 
@@ -57,6 +62,12 @@ object BtrEncoder {
     private val intBuf = new Array[Array[Int]](nCols)
     private val dblBuf = new Array[Array[Double]](nCols)
     private val strBuf = new Array[graft.codec.StrSlicesBuilder](nCols)
+    // null extension: columns DECLARED nullable get a per-chunk validity
+    // bitmap (bit set = NULL, placeholder stored in the value buffer);
+    // non-nullable columns keep the reference's fail-fast model
+    private val nullable: Array[Boolean] = schema.fields.map(_.nullable)
+    private val nullWords = new Array[Array[Long]](nCols)
+    private val nullCnt = new Array[Int](nCols)
     private var n = 0
     private var strBytes = 0L
     locally {
@@ -68,6 +79,7 @@ object BtrEncoder {
           case ColType.String =>
             strBuf(c) = new graft.codec.StrSlicesBuilder(1 << 16, cfg.blockSize)
         }
+        if (nullable(c)) nullWords(c) = new Array[Long]((cfg.blockSize + 63) >> 6)
         c += 1
       }
     }
@@ -82,11 +94,20 @@ object BtrEncoder {
     def add(row: InternalRow): Unit = {
       var c = 0
       while (c < nCols) {
-        if (row.isNullAt(c))
-          throw new IllegalArgumentException(
-            s"null in column '${schema(c).name}'$label — " +
-              "btr columns are non-null (reference model, SURVEY §1.2)")
-        colTypes(c) match {
+        if (row.isNullAt(c)) {
+          if (!nullable(c))
+            throw new IllegalArgumentException(
+              s"null in column '${schema(c).name}'$label — declared non-nullable " +
+                "(the reference model, SURVEY §1.2; mark the field nullable to " +
+                "use the validity-bitmap extension)")
+          nullWords(c)(n >> 6) |= 1L << (n & 63)
+          nullCnt(c) += 1
+          colTypes(c) match { // placeholder keeps the value blob dense
+            case ColType.Integer => intBuf(c)(n) = 0
+            case ColType.Double  => dblBuf(c)(n) = 0.0
+            case ColType.String  => strBuf(c).commit(0) // empty slice
+          }
+        } else colTypes(c) match {
           case ColType.Integer => intBuf(c)(n) = row.getInt(c)
           case ColType.Double  => dblBuf(c)(n) = row.getDouble(c)
           case ColType.String =>
@@ -112,19 +133,24 @@ object BtrEncoder {
       val parts = new Array[CompressedPart](nCols)
       var c = 0
       while (c < nCols) {
+        val nw = if (nullCnt(c) > 0) nullWords(c) else null
         parts(c) = colTypes(c) match {
           case ColType.Integer =>
-            ChunkEncoder.encodeInt(partitionId, chunkIdx, firstRow, c, schema(c).name, intBuf(c), len, cfg)
+            ChunkEncoder.encodeInt(partitionId, chunkIdx, firstRow, c, schema(c).name, intBuf(c), len, cfg, nw, nullCnt(c))
           case ColType.Double =>
-            ChunkEncoder.encodeDouble(partitionId, chunkIdx, firstRow, c, schema(c).name, dblBuf(c), len, cfg)
+            ChunkEncoder.encodeDouble(partitionId, chunkIdx, firstRow, c, schema(c).name, dblBuf(c), len, cfg, nw, nullCnt(c))
           case ColType.String =>
-            ChunkEncoder.encodeStringSlices(partitionId, chunkIdx, firstRow, c, schema(c).name, strBuf(c).result(), cfg)
+            ChunkEncoder.encodeStringSlices(partitionId, chunkIdx, firstRow, c, schema(c).name, strBuf(c).result(), cfg, nw, nullCnt(c))
         }
         c += 1
       }
       var k = 0
       while (k < nCols) {
         if (strBuf(k) != null) strBuf(k).clear()
+        if (nullWords(k) != null && nullCnt(k) > 0) {
+          java.util.Arrays.fill(nullWords(k), 0L)
+          nullCnt(k) = 0
+        }
         k += 1
       }
       n = 0

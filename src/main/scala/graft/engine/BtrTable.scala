@@ -202,7 +202,7 @@ object BtrTable {
       totals: (Long, Long, Long, Long),
       bucketStats: Seq[BucketStat]): BtrManifest = {
     val colTypes = BtrEncoder.validateSchema(schema)
-    val cols = schema.fields.zip(colTypes).map { case (f, t) => ColumnMeta(f.name, t) }
+    val cols = schema.fields.zip(colTypes).map { case (f, t) => ColumnMeta(f.name, t, f.nullable) }
     val m = BtrManifest(
       columns = cols.toSeq,
       numPartitions = totals._4.toInt,

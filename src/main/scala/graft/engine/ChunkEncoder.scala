@@ -11,32 +11,59 @@ import java.nio.charset.StandardCharsets.UTF_8
   */
 object ChunkEncoder {
 
+  /** Null bookkeeping for one encoded chunk: word bitmap → byte bitmap
+    * (bit i set = row i NULL; null when the chunk has no nulls). Nulls
+    * store a placeholder in the value blob (0 / 0.0 / "") — cheap under
+    * every codec — and are masked back to NULL on decode.
+    */
+  private def bitmapBytes(nullWords: Array[Long], nullCount: Int, len: Int): Array[Byte] =
+    if (nullCount == 0) null
+    else {
+      val b = new Array[Byte]((len + 7) >> 3)
+      var i = 0
+      while (i < b.length) {
+        b(i) = (nullWords(i >> 3) >>> ((i & 7) << 3)).toByte
+        i += 1
+      }
+      b
+    }
+
+  @inline private def isNull(nullWords: Array[Long], i: Int): Boolean =
+    nullWords != null && ((nullWords(i >> 6) >>> (i & 63)) & 1L) == 1L
+
   def encodeInt(
       partitionId: Int, chunkIdx: Int, firstRow: Long,
       colIdx: Int, colName: String,
-      v: Array[Int], len: Int, cfg: BtrConfig): CompressedPart = {
+      v: Array[Int], len: Int, cfg: BtrConfig,
+      nullWords: Array[Long] = null, nullCount: Int = 0): CompressedPart = {
     val out = new BufWriter(len * 2 + 64)
     IntCodec.encode(out, v, 0, len, cfg.maxCascadeDepth, cfg)
     val bytes = out.result()
+    // zone extrema over NON-NULL values only (null rows hold placeholders)
     var mn = Long.MaxValue
     var mx = Long.MinValue
     var i = 0
     while (i < len) {
-      if (v(i) < mn) mn = v(i)
-      if (v(i) > mx) mx = v(i)
+      if (!isNull(nullWords, i)) {
+        if (v(i) < mn) mn = v(i)
+        if (v(i) > mx) mx = v(i)
+      }
       i += 1
     }
+    val hasRange = nullCount < len && len > 0
     CompressedPart(
       partitionId, chunkIdx, firstRow, len, colIdx, colName, ColType.Integer,
       IntCodec.describe(new BufReader(bytes)), 4L * len, bytes.length, bytes,
-      if (len > 0) Some(mn) else None, if (len > 0) Some(mx) else None,
-      None, None, None, None)
+      if (hasRange) Some(mn) else None, if (hasRange) Some(mx) else None,
+      None, None, None, None,
+      nullCount, bitmapBytes(nullWords, nullCount, len))
   }
 
   def encodeDouble(
       partitionId: Int, chunkIdx: Int, firstRow: Long,
       colIdx: Int, colName: String,
-      v: Array[Double], len: Int, cfg: BtrConfig): CompressedPart = {
+      v: Array[Double], len: Int, cfg: BtrConfig,
+      nullWords: Array[Long] = null, nullCount: Int = 0): CompressedPart = {
     val out = new BufWriter(len * 4 + 64)
     DoubleCodec.encode(out, v, 0, len, cfg.maxCascadeDepth, cfg)
     val bytes = out.result()
@@ -44,34 +71,38 @@ object ChunkEncoder {
     // -0.0 == 0.0, which would store a zone min of 0.0 for a chunk holding
     // -0.0 — pruning wouldn't care (they compare equal) but the MIN/MAX
     // aggregate pushdown reads zones as exact under Spark's total order,
-    // where -0.0 < 0.0
+    // where -0.0 < 0.0. Non-null values only.
     var mn = Double.PositiveInfinity
     var mx = Double.NegativeInfinity
     var sawNaN = false
     var i = 0
     while (i < len) {
-      val x = v(i)
-      if (x.isNaN) sawNaN = true
-      else {
-        if (java.lang.Double.compare(x, mn) < 0) mn = x
-        if (java.lang.Double.compare(x, mx) > 0) mx = x
+      if (!isNull(nullWords, i)) {
+        val x = v(i)
+        if (x.isNaN) sawNaN = true
+        else {
+          if (java.lang.Double.compare(x, mn) < 0) mn = x
+          if (java.lang.Double.compare(x, mx) > 0) mx = x
+        }
       }
       i += 1
     }
-    val hasRange = len > 0 && !sawNaN && mn <= mx
+    val hasRange = len > 0 && !sawNaN && nullCount < len && mn <= mx
     CompressedPart(
       partitionId, chunkIdx, firstRow, len, colIdx, colName, ColType.Double,
       DoubleCodec.describe(new BufReader(bytes)), 8L * len, bytes.length, bytes,
       None, None,
       if (hasRange) Some(mn) else None, if (hasRange) Some(mx) else None,
-      None, None)
+      None, None,
+      nullCount, bitmapBytes(nullWords, nullCount, len))
   }
 
   /** Arena-based string chunk encode (the engine's hot path). */
   def encodeStringSlices(
       partitionId: Int, chunkIdx: Int, firstRow: Long,
       colIdx: Int, colName: String,
-      s: StrSlices, cfg: BtrConfig): CompressedPart = {
+      s: StrSlices, cfg: BtrConfig,
+      nullWords: Array[Long] = null, nullCount: Int = 0): CompressedPart = {
     val len = s.count
     val raw = s.totalBytes
     val out = new BufWriter(math.min(raw, Int.MaxValue / 2).toInt / 2 + 256)
@@ -81,18 +112,21 @@ object ChunkEncoder {
     var mx = -1
     var i = 0
     while (i < len) {
-      if (mn < 0 || s.sliceCompare(i, mn) < 0) mn = i
-      if (mx < 0 || s.sliceCompare(i, mx) > 0) mx = i
+      if (!isNull(nullWords, i)) {
+        if (mn < 0 || s.sliceCompare(i, mn) < 0) mn = i
+        if (mx < 0 || s.sliceCompare(i, mx) > 0) mx = i
+      }
       i += 1
     }
     val (minS, maxS) = coherentPair(
-      if (len > 0 && s.len(mn) <= 64 && s.len(mx) <= 64)
+      if (mn >= 0 && s.len(mn) <= 64 && s.len(mx) <= 64)
         (utf8Faithful(s.copy(mn)), utf8Faithful(s.copy(mx)))
       else (None, None))
     CompressedPart(
       partitionId, chunkIdx, firstRow, len, colIdx, colName, ColType.String,
       StringCodec.describeBlock(bytes), raw, bytes.length, bytes,
-      None, None, None, None, minS, maxS)
+      None, None, None, None, minS, maxS,
+      nullCount, bitmapBytes(nullWords, nullCount, len))
   }
 
   /** A zone is a PAIR: if either extremum is unfaithful, drop both. Readers

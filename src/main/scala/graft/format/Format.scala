@@ -23,15 +23,22 @@ final case class CompressedPart(
     rawBytes: Long,
     encBytes: Long,
     bytes: Array[Byte],
-    // zone maps (nullable; only for the matching type, strings <= 64 chars)
+    // zone maps (nullable; only for the matching type, strings <= 64 chars;
+    // with nulls present, extrema cover the NON-NULL values only)
     minLong: Option[Long],
     maxLong: Option[Long],
     minDouble: Option[Double],
     maxDouble: Option[Double],
     minStr: Option[String],
-    maxStr: Option[String])
+    maxStr: Option[String],
+    // null extension (round-5): the reference's effective model is non-null
+    // (SURVEY §1.2) — this engine extends it with a per-chunk validity
+    // bitmap. bit i set = row i is NULL (placeholder value stored in the
+    // blob: 0 / 0.0 / ""); nullBits is null when nullCount == 0.
+    nullCount: Int = 0,
+    nullBits: Array[Byte] = null)
 
-final case class ColumnMeta(name: String, colType: Int)
+final case class ColumnMeta(name: String, colType: Int, nullable: Boolean = false)
 
 /** Per-bucket write stats, persisted in the manifest lineage (north rule:
   * per-partition lineage + metrics). Totals are derived from the COMPLETED
@@ -71,7 +78,7 @@ object BtrManifest {
 
   def toJson(m: BtrManifest): String = {
     val cols = m.columns
-      .map(c => s"""{"name":"${esc(c.name)}","colType":${c.colType}}""")
+      .map(c => s"""{"name":"${esc(c.name)}","colType":${c.colType},"nullable":${c.nullable}}""")
       .mkString("[", ",", "]")
     val done = m.completedPartitions.mkString("[", ",", "]")
     // inner keys deliberately differ from the top-level field names: the
@@ -92,10 +99,13 @@ object BtrManifest {
       val m = ("\"" + name + "\"\\s*:\\s*(-?\\d+)").r.findFirstMatchIn(json)
       m.map(_.group(1).toLong).getOrElse(0L)
     }
-    val colRe = "\\{\"name\":\"((?:[^\"\\\\]|\\\\.)*)\",\"colType\":(\\d)\\}".r
+    // `nullable` is optional: manifests from before the null extension
+    // (round 4 and earlier) omit it and parse as non-null — correct, since
+    // those tables were written by a null-rejecting encoder
+    val colRe = "\\{\"name\":\"((?:[^\"\\\\]|\\\\.)*)\",\"colType\":(\\d)(?:,\"nullable\":(true|false))?\\}".r
     val cols = colRe
       .findAllMatchIn(json)
-      .map(m => ColumnMeta(unesc(m.group(1)), m.group(2).toInt))
+      .map(m => ColumnMeta(unesc(m.group(1)), m.group(2).toInt, m.group(3) == "true"))
       .toSeq
     val doneRe = "\"completedPartitions\"\\s*:\\s*\\[([^\\]]*)\\]".r
     val done = doneRe

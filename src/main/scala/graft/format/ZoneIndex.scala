@@ -15,27 +15,32 @@ import org.apache.hadoop.fs.Path
   * skipping still applies), so pre-index tables stay fully readable.
   *
   * Binary layout (all little-endian, mirroring the frame zone payloads):
-  *   [i32 magic "BTRZ"][u8 version=1][i32 nFiles]
-  *   per file: [u16 nameLen][name utf8][u8 nCols]
-  *     per col: [u8 kind][payload]
+  *   [i32 magic "BTRZ"][u8 version=2][i32 nFiles]
+  *   per file: [u16 nameLen][name utf8][i64 rows (v2)][u8 nCols]
+  *     per col: [u8 kind][payload][i64 nullCount (v2)]
   *       kind 0: none (some chunk lacked a zone — conservative)
   *       kind 1: [i64 min][i64 max]          (long)
   *       kind 2: [i64 minBits][i64 maxBits]  (double)
   *       kind 3: [u8 len][bytes] x2          (UTF-8 string, each <= 64)
+  * v2 adds per-file row counts and per-column null totals so IsNull /
+  * IsNotNull predicates can drop whole files (nullCount == 0 / == rows);
+  * v1 indexes read back with both as -1 (unknown — never prunes on nulls).
   */
 final case class ColZone(
     kind: Int,
     lmin: Long = 0L,
     lmax: Long = 0L,
     smin: Array[Byte] = Array.emptyByteArray,
-    smax: Array[Byte] = Array.emptyByteArray)
+    smax: Array[Byte] = Array.emptyByteArray,
+    nullCount: Long = -1L, // total NULLs in this column across the file; -1 unknown
+    rows: Long = -1L) // total rows in the file; -1 unknown
 
 final case class FileZone(file: String, cols: IndexedSeq[ColZone])
 
 object ZoneIndex {
   final val FileName = "_btr_zones.bin"
   final val Magic = 0x5a525442 // "BTRZ" little-endian
-  final val Version = 1
+  final val Version = 2
 
   def toBytes(entries: Seq[FileZone]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
@@ -48,6 +53,7 @@ object ZoneIndex {
       val name = e.file.getBytes("UTF-8")
       require(name.length <= 0xffff, s"file name too long: ${e.file}")
       u16(name.length); out.write(name)
+      i64(e.cols.headOption.map(_.rows).getOrElse(-1L))
       require(e.cols.length <= 255, s"${e.cols.length} columns > 255")
       u8(e.cols.length)
       e.cols.foreach { c =>
@@ -60,6 +66,7 @@ object ZoneIndex {
             u8(c.smin.length); out.write(c.smin)
             u8(c.smax.length); out.write(c.smax)
         }
+        i64(c.nullCount)
       }
     }
     out.toByteArray
@@ -73,14 +80,15 @@ object ZoneIndex {
     def i64(): Long = (i32().toLong & 0xffffffffL) | (i32().toLong << 32)
     require(i32() == Magic, "not a btr zone index")
     val v = u8()
-    require(v == Version, s"unsupported zone index version $v")
+    require(v >= 1 && v <= Version, s"unsupported zone index version $v")
     val n = i32()
     (0 until n).map { _ =>
       val name = new Array[Byte](u16())
       System.arraycopy(b, p, name, 0, name.length); p += name.length
+      val rows = if (v >= 2) i64() else -1L
       val nCols = u8()
       val cols = (0 until nCols).map { _ =>
-        u8() match {
+        val z = u8() match {
           case 0 => ColZone(0)
           case k @ (1 | 2) => ColZone(k, i64(), i64())
           case 3 =>
@@ -91,6 +99,8 @@ object ZoneIndex {
             ColZone(3, smin = mn, smax = mx)
           case k => sys.error(s"bad zone index kind $k")
         }
+        val nulls = if (v >= 2) i64() else -1L
+        z.copy(nullCount = nulls, rows = rows)
       }
       FileZone(new String(name, "UTF-8"), cols.toIndexedSeq)
     }
@@ -132,11 +142,16 @@ object ZoneIndex {
 }
 
 /** Folds per-frame (chunk) zone maps into one file-level zone per column by
-  * parsing v4 frame headers from their serialized bytes — the single fold
+  * parsing v5 frame headers from their serialized bytes — the single fold
   * implementation shared by every writer (RDD block writer, compressed
   * exchange reducer, DSv2 DataWriter; writers only ever produce the
   * current frame version). A column whose ANY chunk lacks a zone folds to
-  * kind 0 (unprunable).
+  * kind 0 (unprunable); null counts and row totals fold by summation.
+  *
+  * The frame's headerCrc is VERIFIED before anything folds (round-4
+  * advice #2): wrong file-level zones cause unsound planning-time pruning
+  * (matching rows silently dropped), so layout drift or an in-memory
+  * corruption degrades to `dead` — "no index entry", never wrong pruning.
   */
 final class ZoneAccumulator {
   private var nCols = -1
@@ -145,27 +160,62 @@ final class ZoneAccumulator {
   private var lmax: Array[Long] = _
   private var smin: Array[Array[Byte]] = _
   private var smax: Array[Array[Byte]] = _
+  private var nullSum: Array[Long] = _
+  private var totalRows = 0L
   private var dead = false
 
   def fold(frame: Array[Byte]): Unit = {
     if (dead) return
-    var p = 4 // skip i32 numRows
+    var p = 0
     def u8(): Int = { val v = frame(p) & 0xff; p += 1; v }
     def i32(): Int = u8() | (u8() << 8) | (u8() << 16) | (u8() << 24)
     def i64(): Long = (i32().toLong & 0xffffffffL) | (i32().toLong << 32)
+    val numRows = i32()
     val n = u8()
-    p += 4 // skip i32 headerCrc (v4)
+    val storedCrc = i32()
+    val metaStart = p
+    if (numRows <= 0 || n == 0) { dead = true; return }
+    // parse pass 1: locate the meta section's end so the CRC can be checked
+    // BEFORE any zone value is trusted
+    try {
+      var c = 0
+      while (c < n) {
+        p += 1 + 4 + 4 // colType, blobLen, blobCrc
+        u8() match {
+          case 0 => ()
+          case 1 | 2 => p += 16
+          case 3 =>
+            // NOT `p += u8()`: the left operand of += is read before u8()
+            // advances p, which would drop the length byte itself
+            val lmn = u8(); p += lmn
+            val lmx = u8(); p += lmx
+          case _ => dead = true; return
+        }
+        val nulls = i32()
+        if (nulls < 0 || nulls > numRows) { dead = true; return }
+        if (nulls > 0) p += (numRows + 7) >> 3
+        c += 1
+      }
+    } catch { case _: IndexOutOfBoundsException => dead = true; return }
+    val crc = new java.util.zip.CRC32C
+    crc.update(frame, 0, 5)
+    crc.update(frame, metaStart, p - metaStart)
+    if (crc.getValue.toInt != storedCrc) { dead = true; return }
+    // parse pass 2: fold (meta verified)
+    p = metaStart
     if (nCols < 0) {
       nCols = n
       kind = Array.fill(n)(-1)
       lmin = new Array[Long](n); lmax = new Array[Long](n)
       smin = new Array[Array[Byte]](n); smax = new Array[Array[Byte]](n)
+      nullSum = new Array[Long](n)
     } else if (n != nCols) { dead = true; return }
+    totalRows += numRows
     var c = 0
     while (c < n) {
       u8() // colType
       i32() // blobLen
-      i32() // blobCrc (v4)
+      i32() // blobCrc
       u8() match {
         case 0 => kind(c) = 0
         case k @ (1 | 2) =>
@@ -196,18 +246,25 @@ final class ZoneAccumulator {
           } else kind(c) = 0
         case _ => dead = true; return
       }
+      val nulls = i32()
+      nullSum(c) += nulls
+      if (nulls > 0) p += (numRows + 7) >> 3 // skip the validity bitmap
       c += 1
     }
   }
 
-  /** Folded zones, or None when nothing prunable was seen. */
+  /** Folded zones (None only when no frame folded cleanly). Even an
+    * all-kind-0 fold is useful now: the null/row totals alone let IsNull /
+    * IsNotNull predicates drop the file.
+    */
   def result(): Option[IndexedSeq[ColZone]] =
-    if (dead || nCols < 0 || kind.forall(k => k <= 0)) None
+    if (dead || nCols < 0) None
     else Some((0 until nCols).map { c =>
-      kind(c) match {
+      val base = kind(c) match {
         case 1 | 2 => ColZone(kind(c), lmin(c), lmax(c))
         case 3     => ColZone(3, smin = smin(c), smax = smax(c))
         case _     => ColZone(0)
       }
+      base.copy(nullCount = nullSum(c), rows = totalRows)
     })
 }

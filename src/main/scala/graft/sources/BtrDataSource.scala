@@ -44,7 +44,7 @@ class BtrDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val manifest = BtrTable.readManifest(SparkSession.active, dirOf(options))
     StructType(manifest.columns.map(c =>
-      StructField(c.name, BtrDecoder.sparkType(c.colType), nullable = false)))
+      StructField(c.name, BtrDecoder.sparkType(c.colType), nullable = c.nullable)))
   }
 
   /** Writes pass the dataframe's schema straight through (no manifest to
@@ -79,17 +79,24 @@ class BtrBatchTable(dir: String, schema: StructType)
   * zone map [min, max] (chunk-level frame zone or file-level index entry)
   * whether that unit can be skipped whole. `rejects` is the SINGLE dispatch
   * point shared by both pruning levels — kind: 1 long, 2 double (raw bits
-  * in the long args), 3 string; anything else never skips.
+  * in the long args), 3 string; anything else never skips on range.
+  * `nullCount`/`rows` carry the unit's null statistics (-1 = unknown, e.g.
+  * a v1 file-level index): range predicates ignore them (a NULL row never
+  * satisfies a comparison, and zones cover non-null values only — so a
+  * range skip stays sound in the presence of nulls), null predicates
+  * skip on them exactly.
   */
 sealed trait ZonePred extends Serializable {
   def colIdx: Int
-  def rejects(kind: Int, lmin: Long, lmax: Long, smin: Array[Byte], smax: Array[Byte]): Boolean
+  def rejects(kind: Int, lmin: Long, lmax: Long, smin: Array[Byte], smax: Array[Byte],
+      nullCount: Long, rows: Long): Boolean
 }
 
 /** Inclusive [lo, hi] over an int column's long zone. */
 case class LongZonePred(colIdx: Int, lo: Long, hi: Long) extends ZonePred {
   def skip(mn: Long, mx: Long): Boolean = mx < lo || mn > hi
-  def rejects(kind: Int, lmin: Long, lmax: Long, smin: Array[Byte], smax: Array[Byte]): Boolean =
+  def rejects(kind: Int, lmin: Long, lmax: Long, smin: Array[Byte], smax: Array[Byte],
+      nullCount: Long, rows: Long): Boolean =
     kind == 1 && skip(lmin, lmax)
 }
 
@@ -98,8 +105,21 @@ case class LongZonePred(colIdx: Int, lo: Long, hi: Long) extends ZonePred {
   */
 case class DoubleZonePred(colIdx: Int, lo: Double, hi: Double) extends ZonePred {
   def skip(mn: Double, mx: Double): Boolean = mx < lo || mn > hi
-  def rejects(kind: Int, lmin: Long, lmax: Long, smin: Array[Byte], smax: Array[Byte]): Boolean =
+  def rejects(kind: Int, lmin: Long, lmax: Long, smin: Array[Byte], smax: Array[Byte],
+      nullCount: Long, rows: Long): Boolean =
     kind == 2 && skip(java.lang.Double.longBitsToDouble(lmin), java.lang.Double.longBitsToDouble(lmax))
+}
+
+/** `col IS NULL`: skip any unit KNOWN to hold zero nulls. */
+case class IsNullZonePred(colIdx: Int) extends ZonePred {
+  def rejects(kind: Int, lmin: Long, lmax: Long, smin: Array[Byte], smax: Array[Byte],
+      nullCount: Long, rows: Long): Boolean = nullCount == 0L
+}
+
+/** `col IS NOT NULL`: skip any unit KNOWN to be all-null. */
+case class NotNullZonePred(colIdx: Int) extends ZonePred {
+  def rejects(kind: Int, lmin: Long, lmax: Long, smin: Array[Byte], smax: Array[Byte],
+      nullCount: Long, rows: Long): Boolean = rows > 0 && nullCount == rows
 }
 
 object StrOp { val GT = 0; val GTE = 1; val LT = 2; val LTE = 3; val EQ = 4 }
@@ -123,7 +143,8 @@ case class StringZonePred(colIdx: Int, op: Int, v: String) extends ZonePred {
       case StrOp.EQ  => cmp(vb, mn) < 0 || cmp(vb, mx) > 0
     }
   }
-  def rejects(kind: Int, lmin: Long, lmax: Long, smin: Array[Byte], smax: Array[Byte]): Boolean =
+  def rejects(kind: Int, lmin: Long, lmax: Long, smin: Array[Byte], smax: Array[Byte],
+      nullCount: Long, rows: Long): Boolean =
     kind == 3 && skip(smin, smax)
 }
 
@@ -134,13 +155,15 @@ case class StringZonePred(colIdx: Int, op: Int, v: String) extends ZonePred {
   */
 case class LongInZonePred(colIdx: Int, vs: Seq[Long]) extends ZonePred {
   def skip(mn: Long, mx: Long): Boolean = vs.forall(v => v < mn || v > mx)
-  def rejects(kind: Int, lmin: Long, lmax: Long, smin: Array[Byte], smax: Array[Byte]): Boolean =
+  def rejects(kind: Int, lmin: Long, lmax: Long, smin: Array[Byte], smax: Array[Byte],
+      nullCount: Long, rows: Long): Boolean =
     kind == 1 && skip(lmin, lmax)
 }
 
 case class DoubleInZonePred(colIdx: Int, vs: Seq[Double]) extends ZonePred {
   def skip(mn: Double, mx: Double): Boolean = vs.forall(v => v < mn || v > mx)
-  def rejects(kind: Int, lmin: Long, lmax: Long, smin: Array[Byte], smax: Array[Byte]): Boolean =
+  def rejects(kind: Int, lmin: Long, lmax: Long, smin: Array[Byte], smax: Array[Byte],
+      nullCount: Long, rows: Long): Boolean =
     kind == 2 && skip(java.lang.Double.longBitsToDouble(lmin), java.lang.Double.longBitsToDouble(lmax))
 }
 
@@ -150,7 +173,8 @@ case class StringInZonePred(colIdx: Int, vs: Seq[String]) extends ZonePred {
   def skip(mn: Array[Byte], mx: Array[Byte]): Boolean =
     bs.forall(b => java.util.Arrays.compareUnsigned(b, mn) < 0 ||
       java.util.Arrays.compareUnsigned(b, mx) > 0)
-  def rejects(kind: Int, lmin: Long, lmax: Long, smin: Array[Byte], smax: Array[Byte]): Boolean =
+  def rejects(kind: Int, lmin: Long, lmax: Long, smin: Array[Byte], smax: Array[Byte],
+      nullCount: Long, rows: Long): Boolean =
     kind == 3 && skip(smin, smax)
 }
 
@@ -163,7 +187,8 @@ case class StringHullZonePred(colIdx: Int, lo: String, hi: String) extends ZoneP
   def skip(mn: Array[Byte], mx: Array[Byte]): Boolean =
     java.util.Arrays.compareUnsigned(hib, mn) < 0 ||
       java.util.Arrays.compareUnsigned(lob, mx) > 0
-  def rejects(kind: Int, lmin: Long, lmax: Long, smin: Array[Byte], smax: Array[Byte]): Boolean =
+  def rejects(kind: Int, lmin: Long, lmax: Long, smin: Array[Byte], smax: Array[Byte],
+      nullCount: Long, rows: Long): Boolean =
     kind == 3 && skip(smin, smax)
 }
 
@@ -261,25 +286,37 @@ class BtrScanBuilder(dir: String, fullSchema: StructType)
     // hull (never a subset — dropping members would over-skip).
     case In(a, values) if values != null && colOf(a, IntegerType).isDefined &&
         values.forall(v => v == null || v.isInstanceOf[Number]) =>
+      // gate on the FEASIBLE set (vs), not the raw member count: null and
+      // non-integral members can never match an int row, so a large IN set
+      // with few integral members still gets the tight exact check
+      // (round-4 advice #3)
       val vs = values.toSeq.collect {
         case v: Number if lowAtLeast(v) == highAtMost(v) => lowAtLeast(v)
       }
-      if (values.length <= ZonePred.MaxExactSet) colOf(a, IntegerType).map(LongInZonePred(_, vs))
-      else if (vs.nonEmpty) colOf(a, IntegerType).map(LongZonePred(_, vs.min, vs.max))
-      else None
+      if (vs.length <= ZonePred.MaxExactSet) colOf(a, IntegerType).map(LongInZonePred(_, vs))
+      else colOf(a, IntegerType).map(LongZonePred(_, vs.min, vs.max))
     case In(a, values) if values != null && colOf(a, DoubleType).isDefined &&
         values.forall(v => v == null || v.isInstanceOf[Number]) =>
       // NaN members only match NaN rows, and NaN-containing chunks carry no
       // zone (never skipped) — so NaN members are irrelevant to skipping
       val vs = values.toSeq.collect { case v: Number if !v.doubleValue.isNaN => v.doubleValue }
-      if (values.length <= ZonePred.MaxExactSet) colOf(a, DoubleType).map(DoubleInZonePred(_, vs))
-      else if (vs.nonEmpty) colOf(a, DoubleType).map(DoubleZonePred(_, vs.min, vs.max))
-      else None
+      if (vs.length <= ZonePred.MaxExactSet) colOf(a, DoubleType).map(DoubleInZonePred(_, vs))
+      else colOf(a, DoubleType).map(DoubleZonePred(_, vs.min, vs.max))
     case In(a, values) if values != null && colOf(a, StringType).isDefined &&
         values.forall(v => v == null || v.isInstanceOf[String]) =>
       val vs = values.toSeq.collect { case v: String => v }
       if (vs.length <= ZonePred.MaxExactSet) colOf(a, StringType).map(StringInZonePred(_, vs))
       else colOf(a, StringType).map(StringHullZonePred(_, vs.min, vs.max))
+    // ---- null predicates (the null extension): skip units whose null
+    // statistics decide them — chunks carry exact per-column null counts
+    // (v5 frames; v1-v4 are null-free by construction, count 0), the v2
+    // file index carries per-file totals
+    case IsNull(a) =>
+      val i = fullSchema.fieldNames.indexOf(a)
+      if (i >= 0) Some(IsNullZonePred(i)) else None
+    case IsNotNull(a) =>
+      val i = fullSchema.fieldNames.indexOf(a)
+      if (i >= 0) Some(NotNullZonePred(i)) else None
     case _ => None
   }
 
@@ -352,7 +389,7 @@ object ZonePredEval {
     preds.exists { pr =>
       pr.colIdx < cols.length && {
         val z = cols(pr.colIdx)
-        pr.rejects(z.kind, z.lmin, z.lmax, z.smin, z.smax)
+        pr.rejects(z.kind, z.lmin, z.lmax, z.smin, z.smax, z.nullCount, z.rows)
       }
     }
 }
@@ -631,10 +668,13 @@ class BtrAggReader(file: String, conf: org.apache.hadoop.conf.Configuration, spe
           }
           s += 1
         }
-        // decode pass, ascending column order (FrameReader contract)
+        // decode pass, ascending column order (FrameReader contract). A
+        // zone-less ALL-NULL column contributes nothing (its blob holds
+        // placeholders only); partial nulls fold the non-null positions via
+        // the chunk's validity bitmap.
         val needCols = specArr.indices
           .filter(s => specArr(s) match {
-            case MinMaxSpec(c, _) => c < fr.nCols && fr.zKind(c) == 0
+            case MinMaxSpec(c, _) => c < fr.nCols && fr.zKind(c) == 0 && fr.nullCount(c) < fr.numRows
             case _ => false
           })
           .sortBy(s => specArr(s).asInstanceOf[MinMaxSpec].colIdx)
@@ -643,7 +683,7 @@ class BtrAggReader(file: String, conf: org.apache.hadoop.conf.Configuration, spe
         needCols.foreach { s =>
           val spec = specArr(s).asInstanceOf[MinMaxSpec]
           if (spec.colIdx != lastCol) { blob = fr.readBlob(spec.colIdx); lastCol = spec.colIdx }
-          foldDecoded(acc, s, fr.colType(spec.colIdx), blob, spec.isMin)
+          foldDecoded(acc, s, fr.colType(spec.colIdx), blob, spec.isMin, fr.nullBits(spec.colIdx))
         }
         fr.finishChunk()
       }
@@ -683,26 +723,30 @@ class BtrAggReader(file: String, conf: org.apache.hadoop.conf.Configuration, spe
     if (cur == null || (if (isMin) c < 0 else c > 0)) acc(s) = v
   }
 
-  private def foldDecoded(acc: Array[AnyRef], s: Int, colType: Int, blob: Array[Byte], isMin: Boolean): Unit =
+  private def foldDecoded(acc: Array[AnyRef], s: Int, colType: Int, blob: Array[Byte],
+      isMin: Boolean, nullBits: Array[Byte]): Unit = {
+    @inline def live(i: Int): Boolean =
+      nullBits == null || ((nullBits(i >> 3) >> (i & 7)) & 1) == 0
     colType match {
       case t if t == ColType.Integer.toInt =>
         val a = IntCodec.decode(blob)
         var i = 0
-        while (i < a.length) { foldLong(acc, s, a(i), isMin); i += 1 }
+        while (i < a.length) { if (live(i)) foldLong(acc, s, a(i), isMin); i += 1 }
       case t if t == ColType.Double.toInt =>
         val a = DoubleCodec.decode(blob)
         var i = 0
-        while (i < a.length) { foldDouble(acc, s, a(i), isMin); i += 1 }
+        while (i < a.length) { if (live(i)) foldDouble(acc, s, a(i), isMin); i += 1 }
       case t if t == ColType.String.toInt =>
         val d = StringCodec.decodeSlices(new BufReader(blob))
         var i = 0
-        while (i < d.count) { foldBytes(acc, s, d.copy(i), isMin); i += 1 }
+        while (i < d.count) { if (live(i)) foldBytes(acc, s, d.copy(i), isMin); i += 1 }
       case t =>
         // pre-CRC (v1-v3) files have no header checksum to catch a flipped
         // type byte — name the block instead of a bare MatchError
         throw new java.io.IOException(
           s"corrupt btr block file $file: unknown column type $t in aggregate fallback")
     }
+  }
 
   override def get(): InternalRow = row
   override def close(): Unit = ()
@@ -760,8 +804,12 @@ final class ChunkCursor(
 
   /** Decoded required columns of the current chunk (Array[Int] /
     * Array[Double] / DecodedStrings per slot) and its row count.
+    * `chunkNullBits(slot)` is the column's validity bitmap (bit i set =
+    * row i NULL; null when the column has no nulls in this chunk —
+    * placeholder values in `decoded` are masked by it).
     */
   var decoded: Array[AnyRef] = _
+  var chunkNullBits: Array[Array[Byte]] = _
   var chunkRows = 0
 
   private val zonesByCol: Map[Int, Array[ZonePred]] = zones.groupBy(_.colIdx)
@@ -780,7 +828,8 @@ final class ChunkCursor(
   private def zoneRejects(c: Int): Boolean = {
     val preds = zonesByCol.getOrElse(c, null)
     preds != null && preds.exists(
-      _.rejects(fr.zKind(c), fr.zLongMin(c), fr.zLongMax(c), fr.zStrMin(c), fr.zStrMax(c)))
+      _.rejects(fr.zKind(c), fr.zLongMin(c), fr.zLongMax(c), fr.zStrMin(c), fr.zStrMax(c),
+        fr.nullCount(c), fr.numRows))
   }
 
   /** Advance to the next chunk that survives zone skipping and decode its
@@ -800,10 +849,12 @@ final class ChunkCursor(
         chunksSkipped += 1
       } else {
         decoded = new Array[AnyRef](requiredIdx.length)
+        chunkNullBits = new Array[Array[Byte]](requiredIdx.length)
         c = 0
         while (c < fr.nCols) {
           val out = if (c < outPos.length) outPos(c) else -1
           if (out >= 0) {
+            chunkNullBits(out) = fr.nullBits(c)
             val blob = fr.readBlob(c)
             decoded(out) = fr.colType(c) match {
               case t if t == ColType.Integer.toInt => IntCodec.decode(blob)
@@ -877,13 +928,18 @@ class BtrPartitionReader(
     }
     emittedRows += 1
     val decoded = cursor.decoded
+    val nulls = cursor.chunkNullBits
     var o = 0
     while (o < decoded.length) {
-      row.update(o, decoded(o) match {
-        case a: Array[Int]       => a(rowIdx)
-        case a: Array[Double]    => a(rowIdx)
-        case d: DecodedStrings   => UTF8String.fromBytes(d.data, d.starts(rowIdx), d.lens(rowIdx))
-      })
+      val nb = nulls(o)
+      if (nb != null && ((nb(rowIdx >> 3) >> (rowIdx & 7)) & 1) == 1)
+        row.update(o, null) // placeholder in the blob, masked by the bitmap
+      else
+        row.update(o, decoded(o) match {
+          case a: Array[Int]       => a(rowIdx)
+          case a: Array[Double]    => a(rowIdx)
+          case d: DecodedStrings   => UTF8String.fromBytes(d.data, d.starts(rowIdx), d.lens(rowIdx))
+        })
       o += 1
     }
     rowIdx += 1
@@ -918,10 +974,16 @@ class BtrColumnarReader(
   override def next(): Boolean = {
     if (limit >= 0 && emittedRows >= limit) return false
     if (!cursor.nextChunk()) return false
-    val vectors: Array[ColumnVector] = cursor.decoded.map {
-      case a: Array[Int]      => new IntArrayVector(a): ColumnVector
-      case a: Array[Double]   => new DoubleArrayVector(a): ColumnVector
-      case d: DecodedStrings  => new StringArenaVector(d): ColumnVector
+    val vectors: Array[ColumnVector] = Array.tabulate(cursor.decoded.length) { i =>
+      val nb = cursor.chunkNullBits(i)
+      cursor.decoded(i) match {
+        case a: Array[Int] =>
+          if (nb == null) new IntArrayVector(a) else new NullableIntArrayVector(a, nb): ColumnVector
+        case a: Array[Double] =>
+          if (nb == null) new DoubleArrayVector(a) else new NullableDoubleArrayVector(a, nb): ColumnVector
+        case d: DecodedStrings =>
+          if (nb == null) new StringArenaVector(d) else new NullableStringArenaVector(d, nb): ColumnVector
+      }
     }
     var n = cursor.chunkRows
     if (limit >= 0 && emittedRows + n > limit) n = (limit - emittedRows).toInt

@@ -173,7 +173,7 @@ class BtrWrite(
     }
     if (entries.nonEmpty) ZoneIndex.write(conf, dir, entries.toSeq)
     BtrTable.writeManifest(spark, dir, BtrManifest(
-      columns = schema.fields.zip(colTypes).map { case (f, t) => ColumnMeta(f.name, t) }.toSeq,
+      columns = schema.fields.zip(colTypes).map { case (f, t) => ColumnMeta(f.name, t, f.nullable) }.toSeq,
       numPartitions = nparts,
       blockSize = cfg.blockSize,
       maxCascadeDepth = cfg.maxCascadeDepth,

@@ -15,7 +15,11 @@ import org.apache.hadoop.fs.Path
   *
   * Zone kinds (see BlockFiles frame doc): 0 none, 1 long [i64,i64],
   * 2 double [f64bits,f64bits] (stored in the long fields), 3 string
-  * [u8 len][bytes] x2. v1 frames have no zones, v2 int-only zones.
+  * [u8 len][bytes] x2. v1 frames have no zones, v2 int-only zones; v5
+  * adds per-column null counts + validity bitmaps and extends the header
+  * CRC to cover numRows/nCols (v4's covered only the meta section, so its
+  * header-only COUNT(*) path trusts an unchecked numRows — a known,
+  * version-frozen limitation; current writers emit v5).
   */
 final class FrameReader(file: String, conf: org.apache.hadoop.conf.Configuration) {
 
@@ -37,6 +41,11 @@ final class FrameReader(file: String, conf: org.apache.hadoop.conf.Configuration
   var zLongMax: Array[Long] = Array.empty
   var zStrMin: Array[Array[Byte]] = Array.empty
   var zStrMax: Array[Array[Byte]] = Array.empty
+  // null extension (v5): per-column null count + validity bitmap (bit i set
+  // = row i NULL; null array slot when the column has no nulls). v1-v4
+  // frames come from the null-rejecting encoder: always 0 / null.
+  var nullCount: Array[Int] = Array.empty
+  var nullBits: Array[Array[Byte]] = Array.empty
   private var nextBlob = 0
 
   /** Where the reader is, for errors and cross-layer context. */
@@ -92,10 +101,14 @@ final class FrameReader(file: String, conf: org.apache.hadoop.conf.Configuration
   def nextHeader(): Boolean = {
     if (pos >= fileLen) return false
     chunkIndex += 1
+    // v5: the CRC covers the WHOLE header (numRows + nCols + meta) — feed
+    // it from the first byte. v4 covered only the meta section.
+    if (version >= 5) { crc.reset(); crcOn = true }
     numRows = i32("chunk row count")
     if (numRows <= 0) fail(s"invalid chunk row count $numRows")
     nCols = u8("column count")
     if (nCols == 0) fail("zero columns in chunk")
+    crcOn = false // the stored checksum never feeds itself
     val expectedHeaderCrc = if (version >= 4) i32("header checksum") else 0
     if (colType.length < nCols) {
       colType = new Array[Int](nCols)
@@ -106,8 +119,11 @@ final class FrameReader(file: String, conf: org.apache.hadoop.conf.Configuration
       zLongMax = new Array[Long](nCols)
       zStrMin = new Array[Array[Byte]](nCols)
       zStrMax = new Array[Array[Byte]](nCols)
+      nullCount = new Array[Int](nCols)
+      nullBits = new Array[Array[Byte]](nCols)
     }
-    if (version >= 4) { crc.reset(); crcOn = true }
+    if (version == 4) crc.reset() // v5's crc already holds numRows+nCols
+    if (version >= 4) crcOn = true
     var blobs = 0L
     var c = 0
     while (c < nCols) {
@@ -144,6 +160,17 @@ final class FrameReader(file: String, conf: org.apache.hadoop.conf.Configuration
             case k => fail(s"bad zoneKind $k for column $c")
           }
       }
+      if (version >= 5) {
+        nullCount(c) = i32(s"column $c null count")
+        if (nullCount(c) < 0 || nullCount(c) > numRows)
+          fail(s"invalid null count ${nullCount(c)} for column $c ($numRows rows)")
+        if (nullCount(c) > 0) {
+          val bm = new Array[Byte]((numRows + 7) >> 3)
+          guarded(s"column $c validity bitmap")(in.readFully(bm)); pos += bm.length
+          if (crcOn) crc.update(bm)
+          nullBits(c) = bm
+        } else nullBits(c) = null
+      } else { nullCount(c) = 0; nullBits(c) = null }
       c += 1
     }
     if (version >= 4) {

@@ -136,15 +136,17 @@ class EngineSpec extends AnyFunSuite {
     assert(decoded.select("row_id").distinct().count() == 3000)
   }
 
-  test("nulls are rejected with a clear error") {
+  test("nullable input round-trips (null extension; non-null model is per-column)") {
     import spark.implicits._
     val dir = tmpDir("nulls")
-    val df = Seq(("a", Some(1)), ("b", None)).toDF("k", "v")
+    // Option column => nullable field => validity-bitmap extension engages
+    val df = Seq(("a", Some(1)), ("b", None), ("c", Some(7))).toDF("k", "v")
       .select($"k", $"v".cast("int").as("v"))
-    val e = intercept[org.apache.spark.SparkException] {
-      BtrTable.write(df, dir, cfg)
-    }
-    assert(e.getMessage != null)
+    BtrTable.write(df, dir, cfg)
+    val back = BtrTable.load(spark, dir)
+    assert(back.schema("v").nullable)
+    assert(back.filter($"v".isNull).select("k").as[String].collect().toSeq == Seq("b"))
+    assert(back.except(df).count() == 0 && df.except(back).count() == 0)
   }
 
   test("unsupported type fails fast") {
