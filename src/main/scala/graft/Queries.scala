@@ -422,6 +422,28 @@ object Queries {
       count(lit(1)).as("n_rows"))
   }
 
+  /** FILTERED aggregate pushdown (round-5): the WHERE is exact-claimed by
+    * the source, so Spark pushes COUNT/MIN/MAX below it — the reader folds
+    * fully-covered chunks from frame headers + zones alone and decodes only
+    * the two boundary chunks (`SELECT count(*) WHERE id BETWEEN …` is the
+    * most common operational query at 100 TB). Oracle = the same filtered
+    * aggregates over the raw parquet.
+    */
+  private def qAggFiltered(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(
+      col("doc_id").cast("int").as("doc_id"), col("lang"), col("source"))
+    val out = cachedBtr(s, s"q_prune_src_${math.abs(dir.hashCode)}", docs)(
+      graft.engine.BlockFiles.write(docs, _, BtrConfig.default, rangeCols = Seq("doc_id")))
+    s.read.format("btr").load(out)
+      .where(col("doc_id").between(100, 399))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        min(col("lang")).as("min_lang"),
+        max(col("lang")).as("max_lang"))
+  }
+
   /** Runtime join filtering through the DSv2 source: the btr fact table is
     * broadcast-joined to a selectively filtered parquet dim — the DPP shape
     * where Spark hands the build keys to the scan (SupportsRuntimeV2
@@ -653,6 +675,7 @@ object Queries {
     "q_prune_typed" -> (qPruneTyped _),
     "q_prune_in" -> (qPruneIn _),
     "q_agg_push" -> (qAggPush _),
+    "q_agg_filtered" -> (qAggFiltered _),
     "q_join_runtime" -> (qJoinRuntime _),
     "rt_csv" -> (rtCsv _),
     "rt_nulls" -> (rtNulls _),
@@ -733,6 +756,10 @@ object Queries {
     "q_agg_push" ->
       ("SELECT CAST(MIN(doc_id) AS INTEGER) AS min_doc, CAST(MAX(doc_id) AS INTEGER) AS max_doc, " +
         "MIN(lang) AS min_lang, MAX(lang) AS max_lang, COUNT(*) AS n_rows FROM documents"),
+    "q_agg_filtered" ->
+      ("SELECT COUNT(*) AS n_rows, CAST(MIN(doc_id) AS INTEGER) AS min_doc, " +
+        "CAST(MAX(doc_id) AS INTEGER) AS max_doc, MIN(lang) AS min_lang, MAX(lang) AS max_lang " +
+        "FROM documents WHERE doc_id BETWEEN 100 AND 399"),
     "q_join_runtime" ->
       ("SELECT CAST(a.doc_id AS INTEGER) AS doc_id, a.lang, b.source AS dim_source " +
         "FROM documents a JOIN documents b ON a.doc_id = b.doc_id " +

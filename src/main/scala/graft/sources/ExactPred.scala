@@ -1,0 +1,299 @@
+package graft.sources
+
+import graft.codec.DecodedStrings
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+
+/** Exactly-evaluable pushed predicates — the source CLAIMS these filters
+  * (returns them as handled from pushFilters), so Spark plans NO post-scan
+  * Filter. That unlocks aggregate pushdown under a WHERE clause
+  * (`SELECT count(*) WHERE id BETWEEN …` — the most common operational
+  * query at 100 TB — answered from frame headers for fully-covered
+  * chunks), at the price that the readers must now enforce these
+  * predicates with Spark's exact row semantics.
+  *
+  * Three-way chunk classification drives the cost model:
+  *  - zone REJECTS (ZonePred)        → chunk skipped unread (existing);
+  *  - `allMatch` proves every row satisfies the predicate from the zone +
+  *    null statistics alone          → rows emitted with NO per-row eval;
+  *  - otherwise (mixed)              → per-row evaluation on the decoded
+  *    columns (`matches`/`matchesNull`).
+  *
+  * Spark semantics implemented exactly:
+  *  - NULL never satisfies a comparison / IN; IS NULL / `<=> NULL` do;
+  *  - doubles compare with NaN as the GREATEST value, NaN == NaN, and
+  *    -0.0 == 0.0 (Spark normalizes -0.0 at UnsafeRow boundaries; values
+  *    decoded from btr blobs keep their sign bit, so the evaluator must
+  *    normalize);
+  *  - strings compare in unsigned UTF-8 byte order (binary collation);
+  *  - int-column bounds from fractional comparands use the same
+  *    ceil/floor rounding as the zone layer (x > 3.5 ⇔ x >= 4).
+  */
+sealed trait ExactPred extends Serializable {
+  def colIdx: Int
+  /** Does a NULL row satisfy this predicate? */
+  def matchesNull: Boolean
+  /** Non-null row `i` of the decoded column (caller dispatches nulls). */
+  def matches(decoded: AnyRef, i: Int): Boolean
+  /** Can the zone + null statistics PROVE every row of the chunk matches?
+    * Conservative false. kind/zone args as in ZonePred.rejects.
+    */
+  def allMatch(kind: Int, lmin: Long, lmax: Long, smin: Array[Byte], smax: Array[Byte],
+      nullCount: Long, rows: Long): Boolean
+}
+
+object ExactPred {
+  /** Spark's double ordering: -0.0 == 0.0, NaN greatest, NaN == NaN. */
+  @inline def cmpD(a: Double, b: Double): Int =
+    java.lang.Double.compare(if (a == 0.0) 0.0 else a, if (b == 0.0) 0.0 else b)
+}
+
+/** value ∈ [lo, hi] over an INT column (bounds pre-rounded to ints). */
+case class IntCmpPred(colIdx: Int, lo: Long, hi: Long) extends ExactPred {
+  def matchesNull = false
+  def matches(decoded: AnyRef, i: Int): Boolean = {
+    val v = decoded.asInstanceOf[Array[Int]](i).toLong
+    v >= lo && v <= hi
+  }
+  def allMatch(kind: Int, lmin: Long, lmax: Long, smin: Array[Byte], smax: Array[Byte],
+      nullCount: Long, rows: Long): Boolean =
+    kind == 1 && nullCount == 0 && lmin >= lo && lmax <= hi
+}
+
+/** value ∈ [lo, hi] in Spark's double order over a DOUBLE column. An
+  * unbounded top is encoded as hi = NaN (the order's maximum), so `x > v`
+  * correctly matches NaN rows.
+  */
+case class DoubleCmpPred(colIdx: Int, lo: Double, hi: Double) extends ExactPred {
+  import ExactPred.cmpD
+  def matchesNull = false
+  def matches(decoded: AnyRef, i: Int): Boolean = {
+    val v = decoded.asInstanceOf[Array[Double]](i)
+    cmpD(v, lo) >= 0 && cmpD(v, hi) <= 0
+  }
+  def allMatch(kind: Int, lmin: Long, lmax: Long, smin: Array[Byte], smax: Array[Byte],
+      nullCount: Long, rows: Long): Boolean =
+    // a chunk containing NaN carries no zone (kind 0) -> never proves here
+    kind == 2 && nullCount == 0 &&
+      cmpD(java.lang.Double.longBitsToDouble(lmin), lo) >= 0 &&
+      cmpD(java.lang.Double.longBitsToDouble(lmax), hi) <= 0
+}
+
+/** One string comparison (op ∈ StrOp) over unsigned UTF-8 byte order. */
+case class StringCmpPred(colIdx: Int, op: Int, v: String) extends ExactPred {
+  @transient private lazy val vb: Array[Byte] =
+    v.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  def matchesNull = false
+  def matches(decoded: AnyRef, i: Int): Boolean = {
+    val d = decoded.asInstanceOf[DecodedStrings]
+    val c = java.util.Arrays.compareUnsigned(
+      d.data, d.starts(i), d.starts(i) + d.lens(i), vb, 0, vb.length)
+    op match {
+      case StrOp.GT  => c > 0
+      case StrOp.GTE => c >= 0
+      case StrOp.LT  => c < 0
+      case StrOp.LTE => c <= 0
+      case StrOp.EQ  => c == 0
+    }
+  }
+  def allMatch(kind: Int, lmin: Long, lmax: Long, smin: Array[Byte], smax: Array[Byte],
+      nullCount: Long, rows: Long): Boolean = {
+    if (kind != 3 || nullCount != 0) return false
+    def cmp(a: Array[Byte], b: Array[Byte]) = java.util.Arrays.compareUnsigned(a, b)
+    op match {
+      case StrOp.GT  => cmp(smin, vb) > 0
+      case StrOp.GTE => cmp(smin, vb) >= 0
+      case StrOp.LT  => cmp(smax, vb) < 0
+      case StrOp.LTE => cmp(smax, vb) <= 0
+      case StrOp.EQ  => cmp(smin, vb) == 0 && cmp(smax, vb) == 0
+    }
+  }
+}
+
+/** IN over an INT column: sorted feasible members, binary search per row. */
+case class IntInPred(colIdx: Int, vs: Seq[Long]) extends ExactPred {
+  @transient private lazy val sorted: Array[Long] = vs.distinct.sorted.toArray
+  def matchesNull = false
+  def matches(decoded: AnyRef, i: Int): Boolean =
+    java.util.Arrays.binarySearch(sorted, decoded.asInstanceOf[Array[Int]](i).toLong) >= 0
+  def allMatch(kind: Int, lmin: Long, lmax: Long, smin: Array[Byte], smax: Array[Byte],
+      nullCount: Long, rows: Long): Boolean =
+    kind == 1 && nullCount == 0 && lmin == lmax &&
+      java.util.Arrays.binarySearch(sorted, lmin) >= 0
+}
+
+/** IN over a DOUBLE column: members held as canonical bits of the
+  * normalized value (-0.0 → 0.0, NaN → canonical NaN), so NaN ∈ set and
+  * -0.0/0.0 behave per Spark equality.
+  */
+case class DoubleInPred(colIdx: Int, vs: Seq[Double]) extends ExactPred {
+  @transient private lazy val bits: Array[Long] = vs
+    .map(v => java.lang.Double.doubleToLongBits(if (v == 0.0) 0.0 else v))
+    .distinct.sorted.toArray
+  private def memberBits(v: Double): Long =
+    java.lang.Double.doubleToLongBits(if (v == 0.0) 0.0 else v)
+  def matchesNull = false
+  def matches(decoded: AnyRef, i: Int): Boolean =
+    java.util.Arrays.binarySearch(bits, memberBits(decoded.asInstanceOf[Array[Double]](i))) >= 0
+  def allMatch(kind: Int, lmin: Long, lmax: Long, smin: Array[Byte], smax: Array[Byte],
+      nullCount: Long, rows: Long): Boolean =
+    kind == 2 && nullCount == 0 &&
+      ExactPred.cmpD(java.lang.Double.longBitsToDouble(lmin),
+        java.lang.Double.longBitsToDouble(lmax)) == 0 &&
+      java.util.Arrays.binarySearch(bits,
+        memberBits(java.lang.Double.longBitsToDouble(lmin))) >= 0
+}
+
+/** IN over a STRING column: sorted UTF-8 members, binary search per row. */
+case class StringInPred(colIdx: Int, vs: Seq[String]) extends ExactPred {
+  @transient private lazy val sorted: Array[Array[Byte]] = vs.distinct.sorted
+    .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+  private def contains(data: Array[Byte], from: Int, to: Int): Boolean = {
+    var lo = 0
+    var hi = sorted.length - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val c = java.util.Arrays.compareUnsigned(
+        sorted(mid), 0, sorted(mid).length, data, from, to)
+      if (c == 0) return true
+      if (c < 0) lo = mid + 1 else hi = mid - 1
+    }
+    false
+  }
+  def matchesNull = false
+  def matches(decoded: AnyRef, i: Int): Boolean = {
+    val d = decoded.asInstanceOf[DecodedStrings]
+    contains(d.data, d.starts(i), d.starts(i) + d.lens(i))
+  }
+  def allMatch(kind: Int, lmin: Long, lmax: Long, smin: Array[Byte], smax: Array[Byte],
+      nullCount: Long, rows: Long): Boolean =
+    kind == 3 && nullCount == 0 &&
+      java.util.Arrays.compareUnsigned(smin, smax) == 0 &&
+      contains(smin, 0, smin.length)
+}
+
+/** IS NULL (also `col <=> NULL`). */
+case class IsNullPred(colIdx: Int) extends ExactPred {
+  def matchesNull = true
+  def matches(decoded: AnyRef, i: Int): Boolean = false
+  def allMatch(kind: Int, lmin: Long, lmax: Long, smin: Array[Byte], smax: Array[Byte],
+      nullCount: Long, rows: Long): Boolean = rows > 0 && nullCount == rows
+}
+
+/** IS NOT NULL. */
+case class NotNullPred(colIdx: Int) extends ExactPred {
+  def matchesNull = false
+  def matches(decoded: AnyRef, i: Int): Boolean = true
+  def allMatch(kind: Int, lmin: Long, lmax: Long, smin: Array[Byte], smax: Array[Byte],
+      nullCount: Long, rows: Long): Boolean = nullCount == 0
+}
+
+/** Classifier: Filter → ExactPred for the shapes the readers can enforce
+  * exactly. Anything else stays a Spark post-scan filter. Every zone-able
+  * shape is also exact-claimable, so claiming never loses zone skipping.
+  */
+object ExactFilters {
+
+  private def isIntegral(v: Number): Boolean = v match {
+    case _: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer | _: java.lang.Long => true
+    case _ => false
+  }
+  // int-bound rounding, identical to the zone layer (BtrScanBuilder)
+  private def lowAbove(v: Number): Long =
+    if (isIntegral(v)) v.longValue + 1
+    else math.ceil(v.doubleValue).toLong +
+      (if (v.doubleValue == math.floor(v.doubleValue)) 1L else 0L)
+  private def lowAtLeast(v: Number): Long =
+    if (isIntegral(v)) v.longValue else math.ceil(v.doubleValue).toLong
+  private def highBelow(v: Number): Long =
+    if (isIntegral(v)) v.longValue - 1
+    else math.floor(v.doubleValue).toLong -
+      (if (v.doubleValue == math.ceil(v.doubleValue)) 1L else 0L)
+  private def highAtMost(v: Number): Long =
+    if (isIntegral(v)) v.longValue else math.floor(v.doubleValue).toLong
+
+  def toExact(schema: StructType, f: Filter): Option[ExactPred] = {
+    def colOf(name: String, dt: DataType): Option[Int] = {
+      val i = schema.fieldNames.indexOf(name)
+      if (i >= 0 && schema.fields(i).dataType == dt) Some(i) else None
+    }
+    def anyCol(name: String): Option[Int] = {
+      val i = schema.fieldNames.indexOf(name)
+      if (i >= 0) Some(i) else None
+    }
+    // a long literal beyond the exact-double range would lose precision in
+    // the double comparison path; int columns avoid it by comparing as
+    // long, doubles only ever see the literal's own double value
+    f match {
+      // ---- INT columns
+      case GreaterThan(a, v: Number) if colOf(a, IntegerType).isDefined =>
+        colOf(a, IntegerType).map(IntCmpPred(_, lowAbove(v), Long.MaxValue))
+      case GreaterThanOrEqual(a, v: Number) if colOf(a, IntegerType).isDefined =>
+        colOf(a, IntegerType).map(IntCmpPred(_, lowAtLeast(v), Long.MaxValue))
+      case LessThan(a, v: Number) if colOf(a, IntegerType).isDefined =>
+        colOf(a, IntegerType).map(IntCmpPred(_, Long.MinValue, highBelow(v)))
+      case LessThanOrEqual(a, v: Number) if colOf(a, IntegerType).isDefined =>
+        colOf(a, IntegerType).map(IntCmpPred(_, Long.MinValue, highAtMost(v)))
+      case EqualTo(a, v: Number) if colOf(a, IntegerType).isDefined =>
+        colOf(a, IntegerType).map(IntCmpPred(_, lowAtLeast(v), highAtMost(v)))
+      case EqualNullSafe(a, v: Number) if colOf(a, IntegerType).isDefined =>
+        colOf(a, IntegerType).map(IntCmpPred(_, lowAtLeast(v), highAtMost(v)))
+      case In(a, values) if values != null && colOf(a, IntegerType).isDefined &&
+          values.forall(v => v == null || v.isInstanceOf[Number]) =>
+        // feasible = integral members; null / fractional members can never
+        // equal an int row (and a null member's three-valued "unknown" is
+        // false under a filter)
+        val vs = values.toSeq.collect {
+          case v: Number if lowAtLeast(v) == highAtMost(v) => lowAtLeast(v)
+        }
+        colOf(a, IntegerType).map(IntInPred(_, vs))
+      // ---- DOUBLE columns (NaN literal allowed: NaN == NaN in Spark)
+      case GreaterThan(a, v: Number) if colOf(a, DoubleType).isDefined && !v.doubleValue.isNaN =>
+        // nextUp(+Inf) = +Inf would wrongly include +Inf itself; in Spark's
+        // order only NaN is > +Inf
+        val lo = if (v.doubleValue == Double.PositiveInfinity) Double.NaN
+                 else Math.nextUp(v.doubleValue)
+        colOf(a, DoubleType).map(DoubleCmpPred(_, lo, Double.NaN))
+      case GreaterThanOrEqual(a, v: Number) if colOf(a, DoubleType).isDefined && !v.doubleValue.isNaN =>
+        colOf(a, DoubleType).map(DoubleCmpPred(_, v.doubleValue, Double.NaN))
+      case LessThan(a, v: Number) if colOf(a, DoubleType).isDefined && !v.doubleValue.isNaN =>
+        // nextDown(-Inf) = -Inf would wrongly include -Inf itself; nothing
+        // is < -Inf, so use an empty range (lo NaN = order max, hi -Inf)
+        val hi = if (v.doubleValue == Double.NegativeInfinity) Double.NegativeInfinity else Math.nextDown(v.doubleValue)
+        val lo = if (v.doubleValue == Double.NegativeInfinity) Double.NaN else Double.NegativeInfinity
+        colOf(a, DoubleType).map(DoubleCmpPred(_, lo, hi))
+      case LessThanOrEqual(a, v: Number) if colOf(a, DoubleType).isDefined && !v.doubleValue.isNaN =>
+        colOf(a, DoubleType).map(DoubleCmpPred(_, Double.NegativeInfinity, v.doubleValue))
+      case EqualTo(a, v: Number) if colOf(a, DoubleType).isDefined =>
+        colOf(a, DoubleType).map(DoubleCmpPred(_, v.doubleValue, v.doubleValue))
+      case EqualNullSafe(a, v: Number) if colOf(a, DoubleType).isDefined =>
+        colOf(a, DoubleType).map(DoubleCmpPred(_, v.doubleValue, v.doubleValue))
+      case In(a, values) if values != null && colOf(a, DoubleType).isDefined &&
+          values.forall(v => v == null || v.isInstanceOf[Number]) =>
+        val vs = values.toSeq.collect { case v: Number => v.doubleValue }
+        colOf(a, DoubleType).map(DoubleInPred(_, vs))
+      // ---- STRING columns
+      case GreaterThan(a, v: String) =>
+        colOf(a, StringType).map(StringCmpPred(_, StrOp.GT, v))
+      case GreaterThanOrEqual(a, v: String) =>
+        colOf(a, StringType).map(StringCmpPred(_, StrOp.GTE, v))
+      case LessThan(a, v: String) =>
+        colOf(a, StringType).map(StringCmpPred(_, StrOp.LT, v))
+      case LessThanOrEqual(a, v: String) =>
+        colOf(a, StringType).map(StringCmpPred(_, StrOp.LTE, v))
+      case EqualTo(a, v: String) =>
+        colOf(a, StringType).map(StringCmpPred(_, StrOp.EQ, v))
+      case EqualNullSafe(a, v: String) =>
+        colOf(a, StringType).map(StringCmpPred(_, StrOp.EQ, v))
+      case In(a, values) if values != null && colOf(a, StringType).isDefined &&
+          values.forall(v => v == null || v.isInstanceOf[String]) =>
+        val vs = values.toSeq.collect { case v: String => v }
+        colOf(a, StringType).map(StringInPred(_, vs))
+      // ---- null checks
+      case EqualNullSafe(a, null) => anyCol(a).map(IsNullPred)
+      case IsNull(a) => anyCol(a).map(IsNullPred)
+      case IsNotNull(a) => anyCol(a).map(NotNullPred)
+      case _ => None
+    }
+  }
+}

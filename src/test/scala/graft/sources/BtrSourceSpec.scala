@@ -116,11 +116,18 @@ class BtrSourceSpec extends AnyFunSuite {
     val plan = counted.groupBy().count().queryExecution.executedPlan.toString
     assert(plan.contains("BtrAggScan"), s"count(*) must use the headers-only scan:\n$plan")
     assert(counted.count() == 6000)
-    // filtered count must NOT push (filters are evaluated post-scan)
+    // a filtered count PUSHES too since round-5 (the filter is exact-claimed
+    // and enforced by the agg reader three-way per chunk) — and stays exact
     val fplan = counted.where(col("id") > 10).groupBy().count()
       .queryExecution.executedPlan.toString
-    assert(!fplan.contains("BtrAggScan"), s"filtered count must decode rows:\n$fplan")
+    assert(fplan.contains("BtrAggScan") && fplan.contains("exactFilters="),
+      s"filtered count must push with its filters:\n$fplan")
     assert(counted.where(col("id") > 10).count() == 5989)
+    // an unclaimable (expression) filter still falls back to row decoding
+    val eplan = counted.where(col("id") % 7 === 0).groupBy().count()
+      .queryExecution.executedPlan.toString
+    assert(!eplan.contains("BtrAggScan"), s"expression filter must decode rows:\n$eplan")
+    assert(counted.where(col("id") % 7 === 0).count() == (0 until 6000).count(_ % 7 == 0))
 
     val lim = spark.read.format("btr").load(dir).limit(7)
     val lplan = lim.queryExecution.executedPlan.toString

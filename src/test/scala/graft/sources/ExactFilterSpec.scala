@@ -1,0 +1,218 @@
+package graft.sources
+
+import graft.codec.BtrConfig
+import graft.engine.BlockFiles
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Paths
+
+/** Exact-claimed filter pushdown (round-5): the source claims simple
+  * predicates, so Spark plans NO post-scan Filter and the readers must
+  * reproduce Spark's row semantics bit-for-bit. Every condition here runs
+  * twice — through the claiming btr scan and through Spark's own
+  * evaluation on the original DataFrame — and must agree exactly on data
+  * salted with NULLs, NaN, ±Infinity, zeros, empty strings and duplicates.
+  */
+class ExactFilterSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("exact-filter-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(name: String): String = {
+    val p = Paths.get("target", "tmp", s"exact_$name")
+    def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
+    if (p.toFile.exists()) rm(p.toFile)
+    "file:" + p.toAbsolutePath
+  }
+
+  private lazy val (df: DataFrame, btr: DataFrame) = {
+    val rows = (0 until 2000).map { k =>
+      val i: java.lang.Integer = if (k % 11 == 0) null else Int.box(k % 50 - 25)
+      val d: java.lang.Double = k % 13 match {
+        case 0 => null
+        case 1 => Double.box(Double.NaN)
+        case 2 => Double.box(0.0)
+        case 3 => Double.box(-0.0)
+        case 4 => Double.box(Double.PositiveInfinity)
+        case 5 => Double.box(Double.NegativeInfinity)
+        case _ => Double.box((k % 37) * 0.25 - 2.0)
+      }
+      val s: String = if (k % 7 == 0) null else if (k % 5 == 0) "" else s"v${k % 23}"
+      Row(k, i, d, s)
+    }
+    val schema = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("i", IntegerType, nullable = true),
+      StructField("d", DoubleType, nullable = true),
+      StructField("s", StringType, nullable = true)))
+    // NOT cached: Spark's InMemoryRelation batch pruning is NaN-unsound
+    // (a cached `d > Infinity` prunes the batch whose stats-upper-bound is
+    // Infinity and silently drops NaN rows — verified on 4.1.2); the
+    // uncached path evaluates the true semantics this spec compares against
+    val base = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      schema)
+    val dir = tmp("battery")
+    BlockFiles.write(base.repartition(2), dir, BtrConfig(blockSize = 256))
+    (base, spark.read.format("btr").load(dir))
+  }
+
+  private def check(name: String)(cond: org.apache.spark.sql.Column): Unit = {
+    val got = btr.where(cond)
+    val want = df.where(cond)
+    val (g, w) = (got.count(), want.count())
+    assert(g == w, s"[$name] count: btr=$g spark=$w (cond=$cond)")
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      s"[$name] rows diverge for $cond")
+  }
+
+  test("comparison battery agrees with Spark row semantics") {
+    check("int-gt")(col("i") > 5)
+    check("int-gte")(col("i") >= -3)
+    check("int-lt")(col("i") < 0)
+    check("int-lte")(col("i") <= 7)
+    check("int-eq")(col("i") === 7)
+    check("int-gt-frac")(col("i") > 5.5)
+    check("int-lt-negfrac")(col("i") < -3.5)
+    check("int-eq-frac")(col("i") === 6.5)
+    check("int-in")(col("i").isin(1, 5, 7, 1000))
+    check("int-in-frac")(col("i").isin(1.0, 2.5, 7))
+    check("dbl-gt")(col("d") > 2.0)
+    check("dbl-gte-zero")(col("d") >= 0.0)
+    check("dbl-lt-zero")(col("d") < 0.0)
+    check("dbl-lte")(col("d") <= -1.25)
+    check("dbl-eq-zero")(col("d") === 0.0)
+    check("dbl-eq-inf")(col("d") === Double.PositiveInfinity)
+    check("dbl-gt-neginf")(col("d") > Double.NegativeInfinity)
+    check("dbl-lt-neginf")(col("d") < Double.NegativeInfinity)
+    check("dbl-gt-posinf")(col("d") > Double.PositiveInfinity)
+    check("dbl-gte-posinf")(col("d") >= Double.PositiveInfinity)
+    check("dbl-in")(col("d").isin(0.0, 2.25, Double.PositiveInfinity))
+    check("str-gt")(col("s") > "v1")
+    check("str-gte")(col("s") >= "v2")
+    check("str-lt")(col("s") < "v12")
+    check("str-lte")(col("s") <= "")
+    check("str-eq")(col("s") === "v7")
+    check("str-eq-empty")(col("s") === "")
+    check("str-in")(col("s").isin("v1", "v22", "", "zzz"))
+    check("is-null-i")(col("i").isNull)
+    check("is-null-s")(col("s").isNull)
+    check("not-null-d")(col("d").isNotNull)
+    check("null-safe-eq")(col("i") <=> 7)
+    check("conj")(col("i") > 3 && col("s") < "v2")
+    check("conj-typed")(col("d") >= 0.0 && col("i") <= 10 && col("s").isNotNull)
+    // one claimable + one NOT claimable (expression): the latter stays a
+    // Spark post-scan filter; combination must still be exact
+    check("mixed-claim")(col("i") % 2 === 0 && col("i") > 5)
+    check("id-range")(col("id").between(256, 1023))
+  }
+
+  test("claimable predicates leave no post-scan Filter; expressions do") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val claimed = btr.where(col("i") > 5 && col("s").isNotNull)
+    assert(claimed.queryExecution.optimizedPlan.collect { case f: LFilter => f }.isEmpty,
+      s"claimed filters must not leave a Filter node:\n${claimed.queryExecution.optimizedPlan}")
+    assert(claimed.queryExecution.executedPlan.toString.contains("exactFilters="),
+      "scan must report its exact filters")
+    val unclaimed = btr.where(col("i") % 2 === 0)
+    assert(unclaimed.queryExecution.optimizedPlan.collect { case f: LFilter => f }.nonEmpty,
+      "an expression predicate must stay a Spark filter")
+  }
+
+  test("filtered aggregate pushdown: headers for covered chunks, decode only at boundaries") {
+    // ordered single-partition layout => tight chunk zones on id
+    val dir = tmp("agg")
+    val src = spark.range(8192).selectExpr(
+      "CAST(id AS INT) AS id",
+      "CAST(id % 97 AS INT) AS v",
+      "concat('s', id % 13) AS s")
+    BlockFiles.write(src.coalesce(1), dir, BtrConfig(blockSize = 256))
+    val t = spark.read.format("btr").load(dir)
+
+    // end-to-end: values match Spark, plan shows the pushed filtered agg
+    val q = t.where(col("id").between(1000, 2999))
+      .agg(count(lit(1)).as("n"), min("v").as("mn"), max("s").as("mx"))
+    val want = src.where(col("id").between(1000, 2999))
+      .agg(count(lit(1)), min("v"), max("s")).head()
+    assert(q.head().toSeq == want.toSeq)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BtrAggScan"), s"filtered aggregate must push to the source:\n$plan")
+    assert(plan.contains("exactFilters="), s"agg scan must carry the filters:\n$plan")
+
+    // reader-level: of 32 chunks, the covered interior folds from headers,
+    // only the two boundary chunks decode, the rest are skipped
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(s"$dir/blocks").getFileSystem(conf)
+    val file = fs.listStatus(new Path(s"$dir/blocks"))
+      .map(_.getPath.toString).filter(_.contains("part-")).head
+    val r = new BtrAggReader(file, conf,
+      specs = Seq(CountSpec, MinMaxSpec(1, isMin = true)),
+      zones = Array(LongZonePred(0, 1000, 2999)),
+      exact = Array(IntCmpPred(0, 1000, 2999)))
+    assert(r.next())
+    assert(r.get().getLong(0) == 2000, s"filtered count: ${r.get().getLong(0)}")
+    val m = r.currentMetricsValues().map(x => x.name() -> x.value()).toMap
+    // [1000, 2999] over 256-row chunks: chunks 4..10 (rows 1024..2815) are
+    // fully covered, chunks 3 and 11 are boundary-partial, the other 23 skip
+    assert(m("chunksTotal") == 32)
+    assert(m("aggChunksDecoded") == 2, s"only the 2 boundary chunks decode: $m")
+    assert(m("aggChunksHeaderOnly") == 7, s"7 fully-covered chunks fold from headers: $m")
+    assert(m("chunksSkipped") == 23, s"23 chunks outside the range skip: $m")
+  }
+
+  test("pruning metrics surface in the SQLAppStatusStore (Spark UI): files + chunks ratios") {
+    val dir = tmp("uimetrics")
+    val src = spark.range(8192).selectExpr("CAST(id AS INT) AS id", "concat('s', id % 7) AS s")
+    BlockFiles.write(src.repartitionByRange(4, col("id")), dir, BtrConfig(blockSize = 256))
+    val mark = spark.sharedState.statusStore.executionsCount()
+    spark.read.format("btr").load(dir).where(col("id").between(0, 99)).collect()
+    // the SQL listener is async — poll for the execution's metric values;
+    // the store keys plan metrics by their DESCRIPTION string
+    val want = Set(
+      "chunks skipped via zone maps",
+      "chunks seen in scanned files (skipped + read)",
+      "block files dropped at planning via the zone index",
+      "block files in the table")
+    var got: Map[String, String] = Map.empty
+    val deadline = System.currentTimeMillis + 15000
+    while (!want.subsetOf(got.keySet) && System.currentTimeMillis < deadline) {
+      Thread.sleep(200)
+      val store = spark.sharedState.statusStore
+      got = store.executionsList().drop(mark.toInt).flatMap { e =>
+        val vals = try store.executionMetrics(e.executionId) catch { case _: Exception => Map.empty[Long, String] }
+        e.metrics.filter(m => want.contains(m.name))
+          .flatMap(m => vals.get(m.accumulatorId).map(v => m.name -> v))
+      }.toMap
+    }
+    assert(want.subsetOf(got.keySet), s"UI metrics missing: $got")
+    def num(s: String): Long = "\\d+".r.findFirstIn(s.replace(",", "")).map(_.toLong).getOrElse(-1)
+    assert(num(got("block files in the table")) == 4, s"filesTotal: $got")
+    assert(num(got("block files dropped at planning via the zone index")) == 3,
+      s"selective range must drop 3 of 4 files at planning: $got")
+    // chunk ratio inside the surviving file: 8 chunks seen, 7 skipped
+    assert(num(got("chunks seen in scanned files (skipped + read)")) == 8, s"chunksTotal: $got")
+    assert(num(got("chunks skipped via zone maps")) == 7, s"chunksSkipped: $got")
+  }
+
+  test("chunksTotal + chunksSkipped give the pruning ratio at reader level") {
+    val dir = tmp("ratio")
+    val src = spark.range(4096).selectExpr("CAST(id AS INT) AS id", "concat('x', id) AS s")
+    BlockFiles.write(src.coalesce(1), dir, BtrConfig(blockSize = 256))
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(s"$dir/blocks").getFileSystem(conf)
+    val file = fs.listStatus(new Path(s"$dir/blocks"))
+      .map(_.getPath.toString).filter(_.contains("part-")).head
+    val r = new BtrPartitionReader(file, conf, Array(0), Array(LongZonePred(0, 0, 255)))
+    while (r.next()) ()
+    val m = r.currentMetricsValues().map(x => x.name() -> x.value()).toMap
+    assert(m("chunksTotal") == 16 && m("chunksSkipped") == 15, s"ratio metrics: $m")
+    r.close()
+  }
+}
