@@ -133,6 +133,25 @@ final class BtrCsvView(spark: SparkSession, dir: String, cacheLimit: Int = 8 << 
   def read(offset: Long, len: Int): Array[Byte] = synchronized {
     require(offset >= 0 && len >= 0, s"bad range ($offset, $len)")
     if (it == null || offset < bufStart) resetStream(offset) // (backward) seek
+    else if (offset > emitted) {
+      // FORWARD seek (round-5): when the target lands in a partition whose
+      // rendering starts beyond everything emitted so far, re-enter the
+      // stream at that partition via the byte index instead of draining
+      // every intermediate row through the driver (the reference's realtime
+      // fs fills sequentially, realtime_fs.rs:117-124 — the index makes the
+      // jump O(one partition)). A gap inside the current partition still
+      // fills sequentially: re-entering would REWIND to the partition
+      // start and decode more, not less. Sequential reads (offset ==
+      // emitted) never reach here.
+      ensureIndex()
+      var p = 0
+      var start = headerBytes.length.toLong
+      while (p + 1 < partLens.length && start + partLens(p) <= offset) {
+        start += partLens(p)
+        p += 1
+      }
+      if (start > emitted) resetStream(offset)
+    }
     val end = offset + len
     // && short-circuits: hasNext (which can launch the next partition's
     // collect job) is only probed while more bytes are actually needed

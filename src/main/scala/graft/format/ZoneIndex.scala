@@ -72,7 +72,16 @@ object ZoneIndex {
     out.toByteArray
   }
 
-  def fromBytes(b: Array[Byte]): Seq[FileZone] = {
+  def fromBytes(b: Array[Byte]): Seq[FileZone] = fromBytes(b, None)
+
+  /** Parse, materializing only `needCols` columns' zone payloads (None =
+    * all). Planning only ever consults the PREDICATE columns, so on a wide
+    * schema the other columns' payloads (string extrema especially) are
+    * skipped without allocation — they parse to kind 0 / unknown nulls,
+    * which never prunes. Keeps planning-time cost proportional to
+    * files × predicate-columns, not files × schema-width.
+    */
+  def fromBytes(b: Array[Byte], needCols: Option[Set[Int]]): Seq[FileZone] = {
     var p = 0
     def u8(): Int = { val v = b(p) & 0xff; p += 1; v }
     def u16(): Int = u8() | (u8() << 8)
@@ -82,25 +91,34 @@ object ZoneIndex {
     val v = u8()
     require(v >= 1 && v <= Version, s"unsupported zone index version $v")
     val n = i32()
+    val skipped = ColZone(0) // shared placeholder for unrequested columns
     (0 until n).map { _ =>
       val name = new Array[Byte](u16())
       System.arraycopy(b, p, name, 0, name.length); p += name.length
       val rows = if (v >= 2) i64() else -1L
       val nCols = u8()
-      val cols = (0 until nCols).map { _ =>
+      val cols = (0 until nCols).map { c =>
+        val want = needCols.forall(_.contains(c))
         val z = u8() match {
-          case 0 => ColZone(0)
-          case k @ (1 | 2) => ColZone(k, i64(), i64())
+          case 0 => if (want) ColZone(0) else skipped
+          case k @ (1 | 2) =>
+            if (want) ColZone(k, i64(), i64()) else { p += 16; skipped }
           case 3 =>
-            val mn = new Array[Byte](u8())
-            System.arraycopy(b, p, mn, 0, mn.length); p += mn.length
-            val mx = new Array[Byte](u8())
-            System.arraycopy(b, p, mx, 0, mx.length); p += mx.length
-            ColZone(3, smin = mn, smax = mx)
+            if (want) {
+              val mn = new Array[Byte](u8())
+              System.arraycopy(b, p, mn, 0, mn.length); p += mn.length
+              val mx = new Array[Byte](u8())
+              System.arraycopy(b, p, mx, 0, mx.length); p += mx.length
+              ColZone(3, smin = mn, smax = mx)
+            } else {
+              val lmn = u8(); p += lmn
+              val lmx = u8(); p += lmx
+              skipped
+            }
           case k => sys.error(s"bad zone index kind $k")
         }
         val nulls = if (v >= 2) i64() else -1L
-        z.copy(nullCount = nulls, rows = rows)
+        if (want) z.copy(nullCount = nulls, rows = rows) else skipped
       }
       FileZone(new String(name, "UTF-8"), cols.toIndexedSeq)
     }
@@ -124,18 +142,35 @@ object ZoneIndex {
     }
   }
 
-  /** None when the index is absent or unreadable — pruning degrades to the
-    * chunk level, never to an error.
+  /** Driver-side size guard: beyond this the sidecar is ignored (with a
+    * warning) rather than parsed on every planning — pruning degrades to
+    * the chunk level. ~10^6 files × a 10-column mixed schema is ~60-80 MB,
+    * comfortably under it; a table large enough to trip the guard should
+    * shard its zone index by directory (one btr dir per partition of the
+    * table, each with its own sidecar).
     */
-  def read(conf: org.apache.hadoop.conf.Configuration, dir: String): Option[Seq[FileZone]] = {
+  final val MaxReadBytes: Long = 256L << 20
+
+  /** None when the index is absent, unreadable or over the size guard —
+    * pruning degrades to the chunk level, never to an error.
+    */
+  def read(conf: org.apache.hadoop.conf.Configuration, dir: String,
+      needCols: Option[Set[Int]] = None,
+      maxBytes: Long = MaxReadBytes): Option[Seq[FileZone]] = {
     val path = new Path(dir, FileName)
     try {
       val fs = path.getFileSystem(conf)
       if (!fs.exists(path)) None
-      else {
+      else if (fs.getFileStatus(path).getLen > maxBytes) {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"zone index $path is ${fs.getFileStatus(path).getLen} bytes (> $maxBytes): " +
+            "ignoring it for planning — shard the table into per-partition btr dirs " +
+            "to keep file-level pruning")
+        None
+      } else {
         val in = fs.open(path)
         val bytes = try in.readAllBytes() finally in.close()
-        Some(fromBytes(bytes))
+        Some(fromBytes(bytes, needCols))
       }
     } catch { case _: Exception => None }
   }

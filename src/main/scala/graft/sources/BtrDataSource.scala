@@ -516,7 +516,8 @@ class BtrScan(
       p =
         if (az.isEmpty) allFiles
         else graft.format.ZoneIndex.read(
-          SparkSession.active.sparkContext.hadoopConfiguration, dir) match {
+          SparkSession.active.sparkContext.hadoopConfiguration, dir,
+          Some(az.map(_.colIdx).toSet)) match {
           case Some(entries) =>
             val byName = entries.map(e => e.file -> e.cols).toMap
             allFiles.filter { ip =>
@@ -662,7 +663,8 @@ class BtrAggScan(dir: String, fullSchema: StructType, specs: Seq[AggSpec],
   private lazy val plannedFiles: Array[InputPartition] =
     if (zones.isEmpty) allFiles
     else graft.format.ZoneIndex.read(
-      SparkSession.active.sparkContext.hadoopConfiguration, dir) match {
+      SparkSession.active.sparkContext.hadoopConfiguration, dir,
+      Some(zones.map(_.colIdx).toSet)) match {
       case Some(entries) =>
         val byName = entries.map(e => e.file -> e.cols).toMap
         allFiles.filter { ip =>
@@ -924,16 +926,16 @@ case class BtrReaderFactory(
 
   /** Decoded chunks are columnar arrays already — hand them to Spark as
     * ColumnarBatches (vectorized operators, zero per-value boxing). With
-    * exact-claimed filters the reader must drop rows itself, which a
-    * ColumnarBatch cannot express — those scans go row-wise (still
-    * chunk-skipping and all-match short-circuiting).
+    * exact-claimed filters the columnar reader enforces them itself:
+    * all-match chunks stay zero-copy, mixed chunks compact the matching
+    * rows into fresh vectors.
     */
-  override def supportColumnarReads(partition: InputPartition): Boolean = exact.isEmpty
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
     new BtrColumnarReader(
       partition.asInstanceOf[BtrInputPartition].file, ConfShim.conf(confB),
-      requiredIdx, allZones, limit)
+      requiredIdx, allZones, limit, exact)
 }
 
 /** Streams one block file chunk-by-chunk (bounded memory — the reference's
@@ -1213,41 +1215,110 @@ class BtrPartitionReader(
 }
 
 /** Columnar reader: one ColumnarBatch per decoded chunk, wrapping the
-  * decoded arrays directly (no per-value copies or boxing).
+  * decoded arrays directly (no per-value copies or boxing). With
+  * exact-claimed filters (round-5): a chunk the zones PROVE fully matching
+  * keeps the zero-copy vectors; a mixed chunk COMPACTS the matching rows
+  * into fresh vectors (ints/doubles copy values; strings share the decode
+  * arena and copy only offsets) — the scan stays columnar under claimed
+  * predicates instead of falling back to row-at-a-time.
   */
 class BtrColumnarReader(
     file: String,
     conf: org.apache.hadoop.conf.Configuration,
     requiredIdx: Array[Int],
     zones: Array[ZonePred] = Array.empty,
-    limit: Int = -1)
+    limit: Int = -1,
+    exact: Array[ExactPred] = Array.empty)
   extends PartitionReader[ColumnarBatch] {
 
-  private val cursor = new ChunkCursor(file, conf, requiredIdx, zones)
+  private val cursor = new ChunkCursor(file, conf, requiredIdx, zones, exact)
   private var emittedRows = 0L
   private var batch: ColumnarBatch = _
 
   def chunksSkipped: Long = cursor.chunksSkipped
 
+  private def vectorOf(values: AnyRef, nb: Array[Byte]): ColumnVector = values match {
+    case a: Array[Int] =>
+      if (nb == null) new IntArrayVector(a) else new NullableIntArrayVector(a, nb)
+    case a: Array[Double] =>
+      if (nb == null) new DoubleArrayVector(a) else new NullableDoubleArrayVector(a, nb)
+    case d: DecodedStrings =>
+      if (nb == null) new StringArenaVector(d) else new NullableStringArenaVector(d, nb)
+  }
+
   override def next(): Boolean = {
     if (limit >= 0 && emittedRows >= limit) return false
-    if (!cursor.nextChunk()) return false
-    val vectors: Array[ColumnVector] = Array.tabulate(cursor.decoded.length) { i =>
-      val nb = cursor.chunkNullBits(i)
-      cursor.decoded(i) match {
-        case a: Array[Int] =>
-          if (nb == null) new IntArrayVector(a) else new NullableIntArrayVector(a, nb): ColumnVector
-        case a: Array[Double] =>
-          if (nb == null) new DoubleArrayVector(a) else new NullableDoubleArrayVector(a, nb): ColumnVector
-        case d: DecodedStrings =>
-          if (nb == null) new StringArenaVector(d) else new NullableStringArenaVector(d, nb): ColumnVector
+    while (cursor.nextChunk()) {
+      val n =
+        if (cursor.chunkAllMatch) {
+          batch = new ColumnarBatch(
+            Array.tabulate(cursor.decoded.length)(i =>
+              vectorOf(cursor.decoded(i), cursor.chunkNullBits(i))), cursor.chunkRows)
+          cursor.chunkRows
+        } else {
+          // compact the matching row ids, then gather per column
+          val rows = cursor.chunkRows
+          val sel = new Array[Int](rows)
+          var m = 0
+          var i = 0
+          while (i < rows) {
+            if (cursor.rowMatches(i)) { sel(m) = i; m += 1 }
+            i += 1
+          }
+          if (m == 0) -1 // nothing survives; try the next chunk
+          else {
+            val vectors = Array.tabulate(cursor.decoded.length) { c =>
+              val nb = cursor.chunkNullBits(c)
+              val cnb: Array[Byte] =
+                if (nb == null) null
+                else {
+                  val out = new Array[Byte]((m + 7) >> 3)
+                  var k = 0
+                  var any = false
+                  while (k < m) {
+                    if (((nb(sel(k) >> 3) >> (sel(k) & 7)) & 1) == 1) {
+                      out(k >> 3) = (out(k >> 3) | (1 << (k & 7))).toByte
+                      any = true
+                    }
+                    k += 1
+                  }
+                  if (any) out else null
+                }
+              val compacted: AnyRef = cursor.decoded(c) match {
+                case a: Array[Int] =>
+                  val out = new Array[Int](m)
+                  var k = 0
+                  while (k < m) { out(k) = a(sel(k)); k += 1 }
+                  out
+                case a: Array[Double] =>
+                  val out = new Array[Double](m)
+                  var k = 0
+                  while (k < m) { out(k) = a(sel(k)); k += 1 }
+                  out
+                case d: DecodedStrings =>
+                  val st = new Array[Int](m)
+                  val ln = new Array[Int](m)
+                  var k = 0
+                  while (k < m) { st(k) = d.starts(sel(k)); ln(k) = d.lens(sel(k)); k += 1 }
+                  new DecodedStrings(d.data, st, ln, m) // arena shared, offsets only
+              }
+              vectorOf(compacted, cnb)
+            }
+            batch = new ColumnarBatch(vectors, m)
+            m
+          }
+        }
+      if (n >= 0) {
+        var out = n
+        if (limit >= 0 && emittedRows + out > limit) {
+          out = (limit - emittedRows).toInt
+          batch.setNumRows(out)
+        }
+        emittedRows += out
+        return true
       }
     }
-    var n = cursor.chunkRows
-    if (limit >= 0 && emittedRows + n > limit) n = (limit - emittedRows).toInt
-    emittedRows += n
-    batch = new ColumnarBatch(vectors, n)
-    true
+    false
   }
 
   override def get(): ColumnarBatch = batch

@@ -39,6 +39,20 @@ class BtrWriteBuilder(dir: String, info: LogicalWriteInfo)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     rangeCols.foreach(c => require(info.schema().fieldNames.contains(c),
       s"rangeCols column '$c' not in write schema"))
+    // skew escape hatch (round-5): DSv2 distributions cannot synthesize
+    // columns, so the caller adds a salt column (e.g.
+    // withColumn("__salt", pmod(hash(col("path")), lit(16)))) and names it
+    // here — it joins the ordered distribution (a hot rangeCols key spreads
+    // over its salt values instead of serializing one writer) and is
+    // PROJECTED OUT before encoding, so it never lands in the table
+    val saltCols = Option(info.options.get("saltcols"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    saltCols.foreach(c => require(info.schema().fieldNames.contains(c),
+      s"saltCols column '$c' not in write schema"))
+    require(saltCols.isEmpty || rangeCols.nonEmpty,
+      "saltCols requires rangeCols (it salts the range distribution)")
+    require(saltCols.intersect(rangeCols).isEmpty,
+      s"saltCols ${saltCols.intersect(rangeCols).mkString(",")} overlap rangeCols")
     val cfg = BtrConfig(
       blockSize = Option(info.options.get("blocksize")).map(_.toInt)
         .getOrElse(BtrConfig.default.blockSize),
@@ -57,7 +71,7 @@ class BtrWriteBuilder(dir: String, info: LogicalWriteInfo)
       "numPartitions requires rangeCols (it sizes the range exchange)")
     require(numParts == 0 || advisory == 0L,
       "numPartitions and targetPartitionBytes are mutually exclusive")
-    new BtrWrite(dir, info.schema(), colTypes, cfg, rangeCols, doTruncate, advisory, numParts)
+    new BtrWrite(dir, info.schema(), colTypes, cfg, rangeCols, doTruncate, advisory, numParts, saltCols)
   }
 }
 
@@ -69,8 +83,15 @@ class BtrWrite(
     rangeCols: Seq[String],
     truncate: Boolean,
     advisoryBytes: Long = 0L,
-    numParts: Int = 0)
+    numParts: Int = 0,
+    saltCols: Seq[String] = Nil)
   extends Write with RequiresDistributionAndOrdering with BatchWrite {
+
+  /** Schema actually encoded/persisted: the input minus salt columns. */
+  private val keptIdx: Array[Int] =
+    schema.fields.indices.filterNot(i => saltCols.contains(schema.fields(i).name)).toArray
+  private val outSchema: StructType = StructType(keptIdx.map(schema.fields(_)))
+  private val outColTypes: Array[Int] = keptIdx.map(colTypes(_))
 
   /** `targetPartitionBytes` option: lets AQE size the write partitions to
     * a byte target (~one block file each) instead of inheriting
@@ -88,16 +109,18 @@ class BtrWrite(
     s"BtrWrite(dir=$dir${if (rangeCols.nonEmpty) s", rangeCols=${rangeCols.mkString(",")}" else ""})"
 
   private def orders: Array[SortOrder] =
-    rangeCols.map(c => Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
+    (rangeCols ++ saltCols)
+      .map(c => Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
 
   /** Ask Spark for the clustering instead of hand-rolling an exchange.
     *
-    * SKEW LIMITATION: Distributions.ordered ranges on the RAW columns — a
-    * hot (repo, path) key serializes into one writer task, and AQE's skew
-    * handling does not split a single range partition for writes. The RDD
-    * path (BlockFiles.write) salts its repartitionByRange with a row-hash
-    * column for exactly this reason; route known-skewed ingests through it,
-    * or pre-compose a salt column into rangeCols here.
+    * SKEW: without saltCols, Distributions.ordered ranges on the RAW
+    * columns — a hot (repo, path) key serializes into one writer task, and
+    * AQE's skew handling does not split a single range partition for
+    * writes. For skewed ingests either pass `saltCols` (a caller-added
+    * salt column joins the distribution and is dropped before encoding) or
+    * use the RDD path (BlockFiles.write salts its repartitionByRange
+    * automatically, BlockFiles.scala).
     */
   override def requiredDistribution(): Distribution =
     if (rangeCols.isEmpty) Distributions.unspecified() else Distributions.ordered(orders)
@@ -141,7 +164,8 @@ class BtrWrite(
         blocks
       }
     fs.mkdirs(target)
-    BtrWriterFactory(ConfShim.broadcast(spark.sparkContext), target.toString, schema, colTypes, cfg)
+    BtrWriterFactory(ConfShim.broadcast(spark.sparkContext), target.toString,
+      outSchema, outColTypes, cfg, keptIdx)
   }
 
   /** Manifest (with stats from the commit messages) appears only here —
@@ -173,7 +197,7 @@ class BtrWrite(
     }
     if (entries.nonEmpty) ZoneIndex.write(conf, dir, entries.toSeq)
     BtrTable.writeManifest(spark, dir, BtrManifest(
-      columns = schema.fields.zip(colTypes).map { case (f, t) => ColumnMeta(f.name, t, f.nullable) }.toSeq,
+      columns = outSchema.fields.zip(outColTypes).map { case (f, t) => ColumnMeta(f.name, t, f.nullable) }.toSeq,
       numPartitions = nparts,
       blockSize = cfg.blockSize,
       maxCascadeDepth = cfg.maxCascadeDepth,
@@ -204,12 +228,14 @@ case class BtrWriteCommit(
 case class BtrWriterFactory(
     confB: org.apache.spark.broadcast.Broadcast[ConfShim.SerConf],
     blocksDir: String,
-    schema: StructType,
+    schema: StructType, // the PERSISTED schema (salt columns already removed)
     colTypes: Array[Int],
-    cfg: BtrConfig)
+    cfg: BtrConfig,
+    keptIdx: Array[Int] = Array.emptyIntArray) // input-row ordinals of persisted columns
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new BtrDataWriter(ConfShim.conf(confB), blocksDir, partitionId, taskId, schema, colTypes, cfg)
+    new BtrDataWriter(ConfShim.conf(confB), blocksDir, partitionId, taskId, schema, colTypes, cfg,
+      keptIdx)
 }
 
 /** One task's writer: rows push through the ChunkBuilder; each full chunk
@@ -222,12 +248,20 @@ class BtrDataWriter(
     blocksDir: String,
     pid: Int,
     taskId: Long,
-    schema: StructType,
+    schema: StructType, // persisted schema; keptIdx maps its fields to input-row ordinals
     colTypes: Array[Int],
-    cfg: BtrConfig)
+    cfg: BtrConfig,
+    keptIdx: Array[Int] = Array.emptyIntArray)
   extends DataWriter[InternalRow] {
 
   private val builder = new BtrEncoder.ChunkBuilder(schema, colTypes, cfg, s" at partition $pid")
+  // salt projection: identity when keptIdx is empty or already 0..n-1
+  private val project: Array[Int] =
+    if (keptIdx.isEmpty || keptIdx.sameElements(schema.fields.indices)) null else keptIdx
+  private val projRow =
+    if (project == null) null
+    else new org.apache.spark.sql.catalyst.ProjectingInternalRow(
+      schema, scala.collection.immutable.ArraySeq.unsafeWrapArray(project))
   private val zoneAcc = new ZoneAccumulator
   private val fs = new Path(blocksDir).getFileSystem(conf)
   private val finalPath = new Path(blocksDir, f"part-$pid%05d")
@@ -260,7 +294,8 @@ class BtrDataWriter(
 
   override def write(row: InternalRow): Unit = {
     if (builder.isFull) flushChunk()
-    builder.add(row)
+    if (projRow == null) builder.add(row)
+    else { projRow.project(row); builder.add(projRow) }
   }
 
   override def commit(): WriterCommitMessage = {

@@ -225,6 +225,32 @@ class EngineSpec extends AnyFunSuite {
     assert(view.lastReplayFrom == 0)
   }
 
+  test("BtrCsvView far-forward seek re-enters at the covering partition, not a driver drain") {
+    import spark.implicits._
+    val dir = tmpDir("csvview_fwd")
+    val df = (0 until 4000).map(i => (i, s"name_$i")).toDF("id", "name").repartition(8)
+    BtrTable.write(df, dir, BtrConfig(blockSize = 64))
+
+    val full = new String(new BtrCsvView(spark, dir).readAll(), "UTF-8")
+    val view = new BtrCsvView(spark, dir, cacheLimit = 512)
+    assert(new String(view.read(0, 100), "UTF-8") == full.take(100))
+    assert(view.lastReplayFrom == 0)
+    // jump ~3/4 in: must re-enter via the partition byte index (decoding
+    // only the covering partitions onward), not render the gap row-by-row
+    val farOff = full.length * 3L / 4
+    assert(new String(view.read(farOff, 200), "UTF-8")
+      == full.substring(farOff.toInt, farOff.toInt + 200))
+    assert(view.lastReplayFrom > 0,
+      s"far-forward seek must jump partitions, got ${view.lastReplayFrom}")
+    val entered = view.lastReplayFrom
+    // a small forward gap inside the current partition fills sequentially
+    // (re-entering would rewind to the partition start)
+    val nearOff = farOff + 400
+    assert(new String(view.read(nearOff, 50), "UTF-8")
+      == full.substring(nearOff.toInt, nearOff.toInt + 50))
+    assert(view.lastReplayFrom == entered, "no re-init for an in-partition gap")
+  }
+
   test("manifest json round-trips") {
     import graft.format._
     val m = BtrManifest(

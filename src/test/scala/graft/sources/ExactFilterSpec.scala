@@ -200,6 +200,34 @@ class ExactFilterSpec extends AnyFunSuite {
     assert(num(got("chunks skipped via zone maps")) == 7, s"chunksSkipped: $got")
   }
 
+  test("saltCols spreads a 90%-one-key write across writers and never lands in the table") {
+    val dir = tmp("salt")
+    val n = 4000
+    val writers = 8
+    // 90% of rows share one range key — unsalted, one writer would take
+    // them all; the caller-added salt joins the ordered distribution
+    val df = spark.range(n).selectExpr(
+      "CASE WHEN id % 10 < 9 THEN 'hot-repo' ELSE concat('repo', id % 37) END AS repo",
+      "concat('path', id) AS path",
+      "CAST(id AS INT) AS id")
+      .withColumn("__salt", pmod(hash(col("path")), lit(16)))
+    df.write.format("btr").mode("overwrite")
+      .option("rangeCols", "repo").option("saltCols", "__salt")
+      .option("numPartitions", writers.toString).save(dir)
+    val back = spark.read.format("btr").load(dir)
+    // the salt column is dropped before encoding
+    assert(back.schema.fieldNames.toSeq == Seq("repo", "path", "id"))
+    val orig = df.drop("__salt")
+    assert(back.exceptAll(orig).count() == 0 && orig.exceptAll(back).count() == 0)
+    // per-writer row counts from the v2 zone index: no writer got > 2x mean
+    val idx = graft.format.ZoneIndex.read(spark.sparkContext.hadoopConfiguration, dir).get
+    val perFile = idx.map(_.cols.head.rows)
+    val mean = perFile.sum.toDouble / perFile.length
+    assert(perFile.sum == n)
+    assert(perFile.max <= 2 * mean,
+      s"hot key must spread over salted writers: per-file rows ${perFile.mkString(",")}")
+  }
+
   test("chunksTotal + chunksSkipped give the pruning ratio at reader level") {
     val dir = tmp("ratio")
     val src = spark.range(4096).selectExpr("CAST(id AS INT) AS id", "concat('x', id) AS s")
