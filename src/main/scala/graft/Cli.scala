@@ -74,7 +74,8 @@ object Cli {
       // ops view: manifest summary + the file-level zone index (what the
       // planner prunes with), per file per column
       val m = BtrTable.readManifest(spark, args(1))
-      println(s"columns=${m.columns.map(c => s"${c.name}:${ColType.name(c.colType)}").mkString(",")}")
+      println(s"columns=${m.columns.map(c =>
+        s"${c.name}:${ColType.name(c.colType)}${if (c.nullable) "?" else ""}").mkString(",")}")
       println(s"rows=${m.numRows} partitions=${m.numPartitions} blockSize=${m.blockSize} " +
         s"raw=${m.rawBytes} enc=${m.encBytes} ratio=${f"${m.ratio}%.3f"}")
       graft.format.ZoneIndex.read(spark.sparkContext.hadoopConfiguration, args(1)) match {
@@ -83,15 +84,17 @@ object Cli {
           entries.sortBy(_.file).foreach { e =>
             val zs = e.cols.zipWithIndex.map { case (z, c) =>
               val name = if (c < m.columns.length) m.columns(c).name else s"col$c"
+              val nulls = if (z.nullCount > 0) s" nulls=${z.nullCount}" else ""
               z.kind match {
-                case 1 => s"$name=[${z.lmin},${z.lmax}]"
+                case 1 => s"$name=[${z.lmin},${z.lmax}]$nulls"
                 case 2 => s"$name=[${java.lang.Double.longBitsToDouble(z.lmin)}," +
-                  s"${java.lang.Double.longBitsToDouble(z.lmax)}]"
-                case 3 => s"$name=[${new String(z.smin, "UTF-8")},${new String(z.smax, "UTF-8")}]"
-                case _ => s"$name=-"
+                  s"${java.lang.Double.longBitsToDouble(z.lmax)}]$nulls"
+                case 3 => s"$name=[${new String(z.smin, "UTF-8")},${new String(z.smax, "UTF-8")}]$nulls"
+                case _ => s"$name=-$nulls"
               }
             }
-            println(s"  ${e.file}: ${zs.mkString(" ")}")
+            val rows = e.cols.headOption.map(_.rows).getOrElse(-1L)
+            println(s"  ${e.file}${if (rows >= 0) s" rows=$rows" else ""}: ${zs.mkString(" ")}")
           }
         case None => println("file-level zone index: none (parts layout or pre-index table)")
       }
