@@ -444,6 +444,27 @@ object Queries {
         max(col("lang")).as("max_lang"))
   }
 
+  /** Prefix pushdown (round-5): `source LIKE 'src3%'` reaches the scan as
+    * StringStartsWith — rows with the prefix lie in [p, succ(p)) under
+    * byte order, so source-clustered chunks outside that range skip
+    * unread; the claimed predicate also lets the COUNT/MIN/MAX push below
+    * the WHERE. The natural shape for `path LIKE 'org/repo/%'` at 100 TB.
+    * Oracle = the same LIKE-filtered aggregates in DuckDB.
+    */
+  private def qPrunePrefix(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(
+      col("doc_id").cast("int").as("doc_id"), col("source"),
+      col("n_chars").cast("double").as("n_chars_d"))
+    val out = cachedBtr(s, s"q_prune_typed_${math.abs(dir.hashCode)}", docs)(
+      graft.engine.BlockFiles.write(docs, _, BtrConfig.default, rangeCols = Seq("source", "doc_id")))
+    s.read.format("btr").load(out)
+      .where(col("source").startsWith("src3"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+  }
+
   /** Runtime join filtering through the DSv2 source: the btr fact table is
     * broadcast-joined to a selectively filtered parquet dim — the DPP shape
     * where Spark hands the build keys to the scan (SupportsRuntimeV2
@@ -676,6 +697,7 @@ object Queries {
     "q_prune_in" -> (qPruneIn _),
     "q_agg_push" -> (qAggPush _),
     "q_agg_filtered" -> (qAggFiltered _),
+    "q_prune_prefix" -> (qPrunePrefix _),
     "q_join_runtime" -> (qJoinRuntime _),
     "rt_csv" -> (rtCsv _),
     "rt_nulls" -> (rtNulls _),
@@ -760,6 +782,10 @@ object Queries {
       ("SELECT COUNT(*) AS n_rows, CAST(MIN(doc_id) AS INTEGER) AS min_doc, " +
         "CAST(MAX(doc_id) AS INTEGER) AS max_doc, MIN(lang) AS min_lang, MAX(lang) AS max_lang " +
         "FROM documents WHERE doc_id BETWEEN 100 AND 399"),
+    "q_prune_prefix" ->
+      ("SELECT COUNT(*) AS n_rows, CAST(MIN(doc_id) AS INTEGER) AS min_doc, " +
+        "CAST(MAX(doc_id) AS INTEGER) AS max_doc " +
+        "FROM documents WHERE source LIKE 'src3%'"),
     "q_join_runtime" ->
       ("SELECT CAST(a.doc_id AS INTEGER) AS doc_id, a.lang, b.source AS dim_source " +
         "FROM documents a JOIN documents b ON a.doc_id = b.doc_id " +

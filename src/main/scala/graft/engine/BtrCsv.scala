@@ -57,13 +57,17 @@ object BtrCsv {
 
   /** The print-csv row rendering, shared with BtrCsvView (whose byte
     * contract promises exactly this text) so they cannot desynchronize.
+    * SQL NULL renders as an empty cell — the reference's CSV extraction
+    * does the same (/root/reference/src/util.rs:38-41), and it matches
+    * Spark's csv writer default.
     */
   private[engine] def renderRowCsv(row: org.apache.spark.sql.Row): String = {
     val sb = new StringBuilder
     var i = 0
     while (i < row.length) {
       if (i > 0) sb.append(',')
-      sb.append(row.get(i))
+      val v = row.get(i)
+      if (v != null) sb.append(v)
       i += 1
     }
     sb.toString

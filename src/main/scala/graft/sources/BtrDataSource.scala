@@ -178,6 +178,39 @@ case class StringInZonePred(colIdx: Int, vs: Seq[String]) extends ZonePred {
     kind == 3 && skip(smin, smax)
 }
 
+/** `col LIKE 'p%'` (StringStartsWith): rows starting with prefix p lie in
+  * [p, succ(p)) under unsigned byte order (succ = p with its last
+  * non-0xFF byte incremented, trailing 0xFF bytes dropped; all-0xFF has
+  * no upper bound). Skip when the zone lies entirely outside that range —
+  * the natural pushdown for `path LIKE 'org/repo/%'` on a
+  * range-clustered (repo, path) table.
+  */
+case class StringPrefixZonePred(colIdx: Int, prefix: String) extends ZonePred {
+  @transient private lazy val pb: Array[Byte] =
+    prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  @transient private lazy val succ: Array[Byte] = StringPrefixZonePred.successor(pb)
+  def skip(mn: Array[Byte], mx: Array[Byte]): Boolean =
+    java.util.Arrays.compareUnsigned(mx, pb) < 0 ||
+      (succ != null && java.util.Arrays.compareUnsigned(mn, succ) >= 0)
+  def rejects(kind: Int, lmin: Long, lmax: Long, smin: Array[Byte], smax: Array[Byte],
+      nullCount: Long, rows: Long): Boolean =
+    kind == 3 && skip(smin, smax)
+}
+
+object StringPrefixZonePred {
+  /** Smallest byte string > every string with prefix `p`; null if none. */
+  def successor(p: Array[Byte]): Array[Byte] = {
+    var i = p.length - 1
+    while (i >= 0 && p(i) == -1) i -= 1
+    if (i < 0) null
+    else {
+      val s = java.util.Arrays.copyOf(p, i + 1)
+      s(i) = (s(i) + 1).toByte
+      s
+    }
+  }
+}
+
 /** Sound [lo, hi] hull over a string zone — the degrade shape for IN sets
   * too large to check per value (skip only when the whole hull misses).
   */
@@ -307,6 +340,9 @@ class BtrScanBuilder(dir: String, fullSchema: StructType)
       val vs = values.toSeq.collect { case v: String => v }
       if (vs.length <= ZonePred.MaxExactSet) colOf(a, StringType).map(StringInZonePred(_, vs))
       else colOf(a, StringType).map(StringHullZonePred(_, vs.min, vs.max))
+    // ---- prefix (LIKE 'p%'): rows with prefix p lie in [p, succ(p))
+    case StringStartsWith(a, p) if p != null =>
+      colOf(a, StringType).map(StringPrefixZonePred(_, p))
     // ---- null predicates (the null extension): skip units whose null
     // statistics decide them — chunks carry exact per-column null counts
     // (v5 frames; v1-v4 are null-free by construction, count 0), the v2

@@ -172,6 +172,64 @@ case class StringInPred(colIdx: Int, vs: Seq[String]) extends ExactPred {
       contains(smin, 0, smin.length)
 }
 
+/** `col LIKE 'p%'` — byte-prefix match (Spark's StartsWith is a
+  * UTF8String byte-prefix test). allMatch: when the zone's min and max
+  * both lie in [p, succ(p)), every value between them does too.
+  */
+case class StartsWithPred(colIdx: Int, prefix: String) extends ExactPred {
+  @transient private lazy val pb: Array[Byte] =
+    prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  @transient private lazy val succ: Array[Byte] = StringPrefixZonePred.successor(pb)
+  def matchesNull = false
+  def matches(decoded: AnyRef, i: Int): Boolean = {
+    val d = decoded.asInstanceOf[DecodedStrings]
+    d.lens(i) >= pb.length && java.util.Arrays.equals(
+      d.data, d.starts(i), d.starts(i) + pb.length, pb, 0, pb.length)
+  }
+  def allMatch(kind: Int, lmin: Long, lmax: Long, smin: Array[Byte], smax: Array[Byte],
+      nullCount: Long, rows: Long): Boolean =
+    kind == 3 && nullCount == 0 &&
+      java.util.Arrays.compareUnsigned(smin, pb) >= 0 &&
+      (succ == null || java.util.Arrays.compareUnsigned(smax, succ) < 0)
+}
+
+/** `col LIKE '%s'` — byte-suffix match (no zone shape; row eval only). */
+case class EndsWithPred(colIdx: Int, suffix: String) extends ExactPred {
+  @transient private lazy val sb: Array[Byte] =
+    suffix.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  def matchesNull = false
+  def matches(decoded: AnyRef, i: Int): Boolean = {
+    val d = decoded.asInstanceOf[DecodedStrings]
+    val off = d.starts(i) + d.lens(i) - sb.length
+    d.lens(i) >= sb.length && java.util.Arrays.equals(
+      d.data, off, off + sb.length, sb, 0, sb.length)
+  }
+  def allMatch(kind: Int, lmin: Long, lmax: Long, smin: Array[Byte], smax: Array[Byte],
+      nullCount: Long, rows: Long): Boolean = false
+}
+
+/** `col LIKE '%s%'` — byte substring match, same semantics as
+  * UTF8String.contains (byte search; no zone shape).
+  */
+case class ContainsPred(colIdx: Int, needle: String) extends ExactPred {
+  @transient private lazy val nb: Array[Byte] =
+    needle.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  def matchesNull = false
+  def matches(decoded: AnyRef, i: Int): Boolean = {
+    val d = decoded.asInstanceOf[DecodedStrings]
+    if (nb.length == 0) return true
+    val end = d.starts(i) + d.lens(i) - nb.length
+    var o = d.starts(i)
+    while (o <= end) {
+      if (java.util.Arrays.equals(d.data, o, o + nb.length, nb, 0, nb.length)) return true
+      o += 1
+    }
+    false
+  }
+  def allMatch(kind: Int, lmin: Long, lmax: Long, smin: Array[Byte], smax: Array[Byte],
+      nullCount: Long, rows: Long): Boolean = false
+}
+
 /** IS NULL (also `col <=> NULL`). */
 case class IsNullPred(colIdx: Int) extends ExactPred {
   def matchesNull = true
@@ -289,6 +347,14 @@ object ExactFilters {
           values.forall(v => v == null || v.isInstanceOf[String]) =>
         val vs = values.toSeq.collect { case v: String => v }
         colOf(a, StringType).map(StringInPred(_, vs))
+      // ---- LIKE shapes (byte semantics identical to UTF8String's
+      // startsWith/endsWith/contains, which back Spark's operators)
+      case StringStartsWith(a, p) if p != null =>
+        colOf(a, StringType).map(StartsWithPred(_, p))
+      case StringEndsWith(a, s) if s != null =>
+        colOf(a, StringType).map(EndsWithPred(_, s))
+      case StringContains(a, s) if s != null =>
+        colOf(a, StringType).map(ContainsPred(_, s))
       // ---- null checks
       case EqualNullSafe(a, null) => anyCol(a).map(IsNullPred)
       case IsNull(a) => anyCol(a).map(IsNullPred)

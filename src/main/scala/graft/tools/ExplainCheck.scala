@@ -39,6 +39,11 @@ object ExplainCheck {
     spark.read.format("btr").load(bdir)
       .where(col("doc_id").between(10, 20)).explain("formatted")
 
+    println("===== filtered aggregate pushdown (BtrAggScan + exactFilters; headers-only for covered chunks) =====")
+    spark.read.format("btr").load(bdir)
+      .where(col("doc_id").between(10, 20))
+      .agg(count(lit(1)).as("n"), min(col("lang")).as("mn")).explain("formatted")
+
     println("===== stream_sessions plan (window fn, no mapGroups) =====")
     graft.ops.StreamingOps.userSessions(spark, "/root/testdata/sf0.001").explain("formatted")
     spark.stop()

@@ -42,7 +42,8 @@ class ExactFilterSpec extends AnyFunSuite {
         case 5 => Double.box(Double.NegativeInfinity)
         case _ => Double.box((k % 37) * 0.25 - 2.0)
       }
-      val s: String = if (k % 7 == 0) null else if (k % 5 == 0) "" else s"v${k % 23}"
+      val s: String = if (k % 7 == 0) null else if (k % 5 == 0) ""
+        else if (k % 9 == 0) s"é${k % 23}" else s"v${k % 23}"
       Row(k, i, d, s)
     }
     val schema = StructType(Seq(
@@ -100,6 +101,13 @@ class ExactFilterSpec extends AnyFunSuite {
     check("str-eq")(col("s") === "v7")
     check("str-eq-empty")(col("s") === "")
     check("str-in")(col("s").isin("v1", "v22", "", "zzz"))
+    check("starts")(col("s").startsWith("v1"))
+    check("starts-empty")(col("s").startsWith(""))
+    check("starts-mb")(col("s").startsWith("é1"))
+    check("ends")(col("s").endsWith("2"))
+    check("contains")(col("s").contains("1"))
+    check("contains-empty")(col("s").contains(""))
+    check("like-combo")(col("s").startsWith("v") && col("s").endsWith("0"))
     check("is-null-i")(col("i").isNull)
     check("is-null-s")(col("s").isNull)
     check("not-null-d")(col("d").isNotNull)
@@ -198,6 +206,36 @@ class ExactFilterSpec extends AnyFunSuite {
     // chunk ratio inside the surviving file: 8 chunks seen, 7 skipped
     assert(num(got("chunks seen in scanned files (skipped + read)")) == 8, s"chunksTotal: $got")
     assert(num(got("chunks skipped via zone maps")) == 7, s"chunksSkipped: $got")
+  }
+
+  test("prefix pushdown (LIKE 'p%'): zone skip + all-match + 0xFF successor edge") {
+    val dir = tmp("prefix")
+    val src = spark.range(4096).selectExpr("CAST(id AS INT) AS id",
+      "concat('k', lpad(CAST(id AS STRING), 5, '0')) AS k")
+    BlockFiles.write(src.coalesce(1), dir, BtrConfig(blockSize = 256))
+    // reader-level: 'k001' rows (k00100..k00199) all live in chunk 0
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(s"$dir/blocks").getFileSystem(conf)
+    val file = fs.listStatus(new Path(s"$dir/blocks"))
+      .map(_.getPath.toString).filter(_.contains("part-")).head
+    val r = new BtrPartitionReader(file, conf, Array(0),
+      Array(StringPrefixZonePred(1, "k001")), exact = Array(StartsWithPred(1, "k001")))
+    var read = 0L
+    while (r.next()) read += 1
+    assert(read == 100, s"rows with prefix k001: $read")
+    assert(r.chunksSkipped == 15, s"15 of 16 chunks skip by prefix zone: ${r.chunksSkipped}")
+    r.close()
+    // end-to-end through the claimed filter
+    val t = spark.read.format("btr").load(dir)
+    assert(t.where(col("k").startsWith("k0010")).count() == 10)
+    assert(t.where(col("k").startsWith("k0010")).queryExecution.optimizedPlan
+      .collect { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f }.isEmpty)
+    // successor edge: all-0xFF prefix has no upper bound, never over-skips
+    assert(StringPrefixZonePred.successor(Array(-1, -1)) == null)
+    assert(StringPrefixZonePred.successor("ab".getBytes("UTF-8")).toSeq
+      == "ac".getBytes("UTF-8").toSeq)
+    assert(StringPrefixZonePred.successor(Array('a'.toByte, -1)).toSeq == Seq('b'.toByte))
   }
 
   test("saltCols spreads a 90%-one-key write across writers and never lands in the table") {

@@ -186,6 +186,58 @@ class NullsSpec extends AnyFunSuite {
     assert(bad.result().isEmpty, "corrupt frame meta must fold to no index entry")
   }
 
+  test("corruption property on a null-bearing v5 frame: flips are named or harmless") {
+    import org.apache.hadoop.fs.Path
+    val dir = tmp("fuzz")
+    BlockFiles.write(nullDf.limit(1500).coalesce(1), dir, BtrConfig(blockSize = 256))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(s"$dir/blocks").getFileSystem(conf)
+    val orig = fs.listStatus(new Path(s"$dir/blocks"))
+      .map(_.getPath).filter(_.getName.startsWith("part-")).minBy(_.getName)
+    val bytes = { val in = fs.open(orig); try in.readAllBytes() finally in.close() }
+
+    def readAllRows(file: String): Seq[(Int, Any, Any, Any)] = {
+      val r = new BtrPartitionReader(file, conf, Array(0, 1, 2, 3), Array.empty)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Any, Any, Any)]
+      try while (r.next()) {
+        val row = r.get()
+        buf += ((row.getInt(0),
+          if (row.isNullAt(1)) null else row.getInt(1),
+          if (row.isNullAt(2)) null else row.getDouble(2),
+          if (row.isNullAt(3)) null else row.getUTF8String(3).toString))
+      } finally r.close()
+      buf.toSeq
+    }
+    val clean = readAllRows(orig.toString)
+    assert(clean.length == 1500 && clean.exists(_._2 == null) && clean.exists(_._4 == null))
+
+    val rnd = new scala.util.Random(417)
+    val fuzzDir = new Path(s"$dir/fuzz")
+    fs.mkdirs(fuzzDir)
+    var named = 0
+    for (trial <- 0 until 32) {
+      val posn = rnd.nextInt(bytes.length)
+      val mutated = bytes.clone()
+      mutated(posn) = (mutated(posn) ^ (1 << rnd.nextInt(8))).toByte
+      val f = new Path(fuzzDir, f"part-$trial%05d")
+      val os = fs.create(f, true)
+      os.write(mutated)
+      os.close()
+      try {
+        // a flip in a validity bitmap MUST be caught (the v5 header CRC
+        // covers it) — otherwise a value would silently flip to/from NULL
+        assert(readAllRows(f.toString) == clean,
+          s"flip at byte $posn silently changed data/nullness (trial $trial)")
+      } catch {
+        case e: java.io.IOException =>
+          assert(String.valueOf(e.getMessage).contains(f"part-$trial%05d"),
+            s"error must name the file (trial $trial): ${e.getMessage}")
+          named += 1
+      }
+    }
+    assert(named > 20, s"most flips must be detected: named=$named")
+  }
+
   test("manifest nullable flag round-trips through JSON (and legacy parses non-null)") {
     val m = BtrManifest(
       columns = Seq(ColumnMeta("a", 0, nullable = true), ColumnMeta("b", 2)),
