@@ -444,6 +444,24 @@ object Queries {
         max(col("lang")).as("max_lang"))
   }
 
+  /** Compound pushdown (round-5): a same-column OR of disjoint doc_id
+    * ranges plus a NOT-rewritten disequality on lang. Both shapes are
+    * CLAIMED by the scan (no post-scan Filter): the OR composes two zone
+    * ranges — a doc_id-clustered chunk is read only when it intersects
+    * EITHER range — and `NOT lang = 'de'` rewrites exactly to
+    * `lang < 'de' OR lang > 'de'`. `WHERE ts < old OR ts > recent` /
+    * `WHERE lang != 'en'` are everyday 100 TB operational filters that
+    * previously read everything. Oracle = the same predicate in DuckDB.
+    */
+  private def qPruneOr(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(
+      col("doc_id").cast("int").as("doc_id"), col("lang"), col("source"))
+    val out = cachedBtr(s, s"q_prune_src_${math.abs(dir.hashCode)}", docs)(
+      graft.engine.BlockFiles.write(docs, _, BtrConfig.default, rangeCols = Seq("doc_id")))
+    s.read.format("btr").load(out)
+      .where((col("doc_id") < 50 || col("doc_id") >= 450) && !(col("lang") === "de"))
+  }
+
   /** Prefix pushdown (round-5): `source LIKE 'src3%'` reaches the scan as
     * StringStartsWith — rows with the prefix lie in [p, succ(p)) under
     * byte order, so source-clustered chunks outside that range skip
@@ -698,6 +716,7 @@ object Queries {
     "q_agg_push" -> (qAggPush _),
     "q_agg_filtered" -> (qAggFiltered _),
     "q_prune_prefix" -> (qPrunePrefix _),
+    "q_prune_or" -> (qPruneOr _),
     "q_join_runtime" -> (qJoinRuntime _),
     "rt_csv" -> (rtCsv _),
     "rt_nulls" -> (rtNulls _),
@@ -786,6 +805,9 @@ object Queries {
       ("SELECT COUNT(*) AS n_rows, CAST(MIN(doc_id) AS INTEGER) AS min_doc, " +
         "CAST(MAX(doc_id) AS INTEGER) AS max_doc " +
         "FROM documents WHERE source LIKE 'src3%'"),
+    "q_prune_or" ->
+      ("SELECT CAST(doc_id AS INTEGER) AS doc_id, lang, source FROM documents " +
+        "WHERE (doc_id < 50 OR doc_id >= 450) AND NOT (lang = 'de')"),
     "q_join_runtime" ->
       ("SELECT CAST(a.doc_id AS INTEGER) AS doc_id, a.lang, b.source AS dim_source " +
         "FROM documents a JOIN documents b ON a.doc_id = b.doc_id " +

@@ -225,6 +225,34 @@ case class StringHullZonePred(colIdx: Int, lo: String, hi: String) extends ZoneP
     kind == 3 && skip(smin, smax)
 }
 
+/** Same-column disjunction (`f1 OR f2`, round-5): a unit is rejected only
+  * when BOTH branches reject it — no row can satisfy the OR iff none can
+  * satisfy either side. Compounds are single-column so they fit the
+  * per-column zone dispatch (the rejects() signature carries one column's
+  * zone); a cross-column OR stays a Spark post-scan filter, unpruned —
+  * sound, just not skipped.
+  */
+case class OrZonePred(l: ZonePred, r: ZonePred) extends ZonePred {
+  require(l.colIdx == r.colIdx, "compound zone predicates are single-column")
+  def colIdx: Int = l.colIdx
+  def rejects(kind: Int, lmin: Long, lmax: Long, smin: Array[Byte], smax: Array[Byte],
+      nullCount: Long, rows: Long): Boolean =
+    l.rejects(kind, lmin, lmax, smin, smax, nullCount, rows) &&
+      r.rejects(kind, lmin, lmax, smin, smax, nullCount, rows)
+}
+
+/** Same-column conjunction (nested inside an OR — Spark splits top-level
+  * conjuncts itself): rejected as soon as EITHER branch rejects.
+  */
+case class AndZonePred(l: ZonePred, r: ZonePred) extends ZonePred {
+  require(l.colIdx == r.colIdx, "compound zone predicates are single-column")
+  def colIdx: Int = l.colIdx
+  def rejects(kind: Int, lmin: Long, lmax: Long, smin: Array[Byte], smax: Array[Byte],
+      nullCount: Long, rows: Long): Boolean =
+    l.rejects(kind, lmin, lmax, smin, smax, nullCount, rows) ||
+      r.rejects(kind, lmin, lmax, smin, smax, nullCount, rows)
+}
+
 /** One shared size policy for exact-set zone checks: beyond this, numeric
   * sets degrade to their [min,max] hull and string sets to a string hull
   * (both sound — a SUBSET would over-skip).
@@ -353,6 +381,22 @@ class BtrScanBuilder(dir: String, fullSchema: StructType)
     case IsNotNull(a) =>
       val i = fullSchema.fieldNames.indexOf(a)
       if (i >= 0) Some(NotNullZonePred(i)) else None
+    // ---- compounds (round-5). OR prunes only when both sides zone the
+    // SAME column (the per-column dispatch carries one column's zone).
+    // AND may prune from either side alone — a rejected conjunct rejects
+    // the conjunction, whatever the other side references.
+    case Or(f1, f2) =>
+      for {
+        z1 <- zoneOf(f1)
+        z2 <- zoneOf(f2)
+        if z1.colIdx == z2.colIdx
+      } yield OrZonePred(z1, z2)
+    case And(f1, f2) =>
+      (zoneOf(f1), zoneOf(f2)) match {
+        case (Some(a), Some(b)) if a.colIdx == b.colIdx => Some(AndZonePred(a, b))
+        case (a, b) => a.orElse(b)
+      }
+    case Not(g) => NotRewrite(g).flatMap(zoneOf)
     case _ => None
   }
 

@@ -230,6 +230,42 @@ case class ContainsPred(colIdx: Int, needle: String) extends ExactPred {
       nullCount: Long, rows: Long): Boolean = false
 }
 
+/** Same-column disjunction (`f1 OR f2`, round-5). Under SQL three-valued
+  * logic a row passes a filter iff the predicate evaluates TRUE, and OR is
+  * TRUE iff at least one side is TRUE — so pass-composition is plain `||`,
+  * for NULL rows too (`x < 5 OR x IS NULL` composes matchesNull the same
+  * way). allMatch: either side proving every row proves the OR.
+  * Single-column by construction, matching the readers' per-column
+  * dispatch; cross-column ORs stay Spark post-scan filters.
+  */
+case class OrPred(l: ExactPred, r: ExactPred) extends ExactPred {
+  require(l.colIdx == r.colIdx, "compound exact predicates are single-column")
+  def colIdx: Int = l.colIdx
+  def matchesNull: Boolean = l.matchesNull || r.matchesNull
+  def matches(decoded: AnyRef, i: Int): Boolean =
+    l.matches(decoded, i) || r.matches(decoded, i)
+  def allMatch(kind: Int, lmin: Long, lmax: Long, smin: Array[Byte], smax: Array[Byte],
+      nullCount: Long, rows: Long): Boolean =
+    l.allMatch(kind, lmin, lmax, smin, smax, nullCount, rows) ||
+      r.allMatch(kind, lmin, lmax, smin, smax, nullCount, rows)
+}
+
+/** Same-column conjunction (nested inside an OR — Spark splits top-level
+  * conjuncts itself). AND is TRUE iff both sides are TRUE: `&&` on both
+  * the row and the null path; allMatch needs both sides proven.
+  */
+case class AndPred(l: ExactPred, r: ExactPred) extends ExactPred {
+  require(l.colIdx == r.colIdx, "compound exact predicates are single-column")
+  def colIdx: Int = l.colIdx
+  def matchesNull: Boolean = l.matchesNull && r.matchesNull
+  def matches(decoded: AnyRef, i: Int): Boolean =
+    l.matches(decoded, i) && r.matches(decoded, i)
+  def allMatch(kind: Int, lmin: Long, lmax: Long, smin: Array[Byte], smax: Array[Byte],
+      nullCount: Long, rows: Long): Boolean =
+    l.allMatch(kind, lmin, lmax, smin, smax, nullCount, rows) &&
+      r.allMatch(kind, lmin, lmax, smin, smax, nullCount, rows)
+}
+
 /** IS NULL (also `col <=> NULL`). */
 case class IsNullPred(colIdx: Int) extends ExactPred {
   def matchesNull = true
@@ -359,7 +395,56 @@ object ExactFilters {
       case EqualNullSafe(a, null) => anyCol(a).map(IsNullPred)
       case IsNull(a) => anyCol(a).map(IsNullPred)
       case IsNotNull(a) => anyCol(a).map(NotNullPred)
+      // ---- compounds (round-5): claimable only when both sides are
+      // exactly evaluable on the SAME column (the readers decode one
+      // column per predicate). A partially-claimable AND must NOT be
+      // claimed — claiming one conjunct of a filter Spark considers
+      // handled would drop the other — so cross-column compounds return
+      // None and Spark keeps its own Filter (zone pruning still applies
+      // via the zone layer).
+      case Or(f1, f2) =>
+        for {
+          p1 <- toExact(schema, f1)
+          p2 <- toExact(schema, f2)
+          if p1.colIdx == p2.colIdx
+        } yield OrPred(p1, p2)
+      case And(f1, f2) =>
+        for {
+          p1 <- toExact(schema, f1)
+          p2 <- toExact(schema, f2)
+          if p1.colIdx == p2.colIdx
+        } yield AndPred(p1, p2)
+      case Not(g) => NotRewrite(g).flatMap(toExact(schema, _))
       case _ => None
     }
+  }
+}
+
+/** Exact negation rewrites: `Not(f)` → an equivalent positive Filter,
+  * ONLY where the rewrite reproduces Spark's three-valued semantics
+  * exactly. A comparison on a NULL input yields NULL, and NOT NULL is
+  * still NULL — so the swapped comparison (which also rejects NULL rows)
+  * is exact. Shapes whose negation is subtler are deliberately absent and
+  * stay Spark post-scan filters:
+  *  - `NOT (a <=> v)` with v non-null PASSES null rows (<=> is two-valued);
+  *  - `NOT IN (...)` with a null member passes no rows at all;
+  *  - NOT over LIKE shapes / nested AND-OR would need three-valued
+  *    evaluation through the compound.
+  */
+object NotRewrite {
+  def apply(f: Filter): Option[Filter] = f match {
+    case GreaterThan(a, v) => Some(LessThanOrEqual(a, v))
+    case GreaterThanOrEqual(a, v) => Some(LessThan(a, v))
+    case LessThan(a, v) => Some(GreaterThanOrEqual(a, v))
+    case LessThanOrEqual(a, v) => Some(GreaterThan(a, v))
+    // x != v over non-null x is exactly (x < v OR x > v) in Spark's total
+    // orders (doubles: NaN greatest, NaN == NaN; strings: UTF-8 byte
+    // order) — and NULL rows fail both forms
+    case EqualTo(a, v) if v != null => Some(Or(LessThan(a, v), GreaterThan(a, v)))
+    case EqualNullSafe(a, null) => Some(IsNotNull(a))
+    case IsNull(a) => Some(IsNotNull(a))
+    case IsNotNull(a) => Some(IsNull(a))
+    case Not(g) => Some(g)
+    case _ => None
   }
 }
