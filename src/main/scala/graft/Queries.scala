@@ -529,6 +529,26 @@ object Queries {
     * CHUNKS are skipped by their exact frame null counts. Oracle = plain
     * WHERE ... IS NULL.
     */
+  /** COUNT(col) pushdown (round-5): non-null counts fold from the v5
+    * headers' exact per-column null counts — `SELECT count(x)` decodes
+    * NOTHING, and under a claimed WHERE only boundary chunks consult the
+    * (header-resident) validity bitmap. `count(col)/count(*)` is the
+    * canonical completeness probe over a 100 TB ingest. Oracle = the same
+    * aggregates in DuckDB.
+    */
+  private def qAggCount(s: SparkSession, dir: String): DataFrame = {
+    val docs = nullDocs(s, dir)
+    val out = cachedBtr(s, s"rt_nulls_${math.abs(dir.hashCode)}", docs)(o =>
+      docs.write.format("btr").mode("overwrite").option("rangeCols", "doc_id").save(o))
+    s.read.format("btr").load(out)
+      .where(col("doc_id") < 400)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("n_chars_n")).as("n_chars_nn"),
+        count(col("score_n")).as("n_score_nn"),
+        count(col("lang_n")).as("n_lang_nn"))
+  }
+
   private def qPruneNull(s: SparkSession, dir: String): DataFrame = {
     val docs = nullDocs(s, dir)
     val out = cachedBtr(s, s"rt_nulls_${math.abs(dir.hashCode)}", docs)(o =>
@@ -717,6 +737,7 @@ object Queries {
     "q_agg_filtered" -> (qAggFiltered _),
     "q_prune_prefix" -> (qPrunePrefix _),
     "q_prune_or" -> (qPruneOr _),
+    "q_agg_count" -> (qAggCount _),
     "q_join_runtime" -> (qJoinRuntime _),
     "rt_csv" -> (rtCsv _),
     "rt_nulls" -> (rtNulls _),
@@ -808,6 +829,12 @@ object Queries {
     "q_prune_or" ->
       ("SELECT CAST(doc_id AS INTEGER) AS doc_id, lang, source FROM documents " +
         "WHERE (doc_id < 50 OR doc_id >= 450) AND NOT (lang = 'de')"),
+    "q_agg_count" ->
+      ("SELECT COUNT(*) AS n_rows, " +
+        "COUNT(CASE WHEN doc_id % 7 = 0 THEN NULL ELSE 1 END) AS n_chars_nn, " +
+        "COUNT(CASE WHEN doc_id % 5 = 0 THEN NULL ELSE 1 END) AS n_score_nn, " +
+        "COUNT(CASE WHEN doc_id % 3 = 0 THEN NULL ELSE 1 END) AS n_lang_nn " +
+        "FROM documents WHERE doc_id < 400"),
     "q_join_runtime" ->
       ("SELECT CAST(a.doc_id AS INTEGER) AS doc_id, a.lang, b.source AS dim_source " +
         "FROM documents a JOIN documents b ON a.doc_id = b.doc_id " +

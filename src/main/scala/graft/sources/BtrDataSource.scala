@@ -447,7 +447,7 @@ class BtrScanBuilder(dir: String, fullSchema: StructType)
 
   override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     import org.apache.spark.sql.connector.expressions.NamedReference
-    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
     def colRef(e: org.apache.spark.sql.connector.expressions.Expression): Option[Int] = e match {
       case nr: NamedReference if nr.fieldNames.length == 1 =>
         val i = fullSchema.fieldNames.indexOf(nr.fieldNames()(0))
@@ -461,6 +461,7 @@ class BtrScanBuilder(dir: String, fullSchema: StructType)
       agg.aggregateExpressions.isEmpty) return false
     val specs: Seq[Option[AggSpec]] = agg.aggregateExpressions.toSeq.map {
       case _: CountStar => Some(CountSpec)
+      case c: Count if !c.isDistinct => colRef(c.column).map(CountColSpec)
       case m: Min => colRef(m.column).map(MinMaxSpec(_, isMin = true))
       case m: Max => colRef(m.column).map(MinMaxSpec(_, isMin = false))
       case _ => None
@@ -476,10 +477,19 @@ class BtrScanBuilder(dir: String, fullSchema: StructType)
     else new BtrScan(dir, fullSchema, required, pushed.flatMap(zoneOf), limit, exact)
 }
 
-/** One pushed aggregate over the whole table (no grouping/filter/limit). */
+/** One pushed aggregate over the whole table (no grouping/limit; exact-
+  * claimed filters allowed).
+  */
 sealed trait AggSpec extends Serializable
 case object CountSpec extends AggSpec
 case class MinMaxSpec(colIdx: Int, isMin: Boolean) extends AggSpec
+/** COUNT(col) — non-null count: v5 headers carry exact per-column null
+  * counts, so this folds as rows − nullCount with ZERO decode for every
+  * fully-matching chunk; mixed chunks consult the validity bitmap (also
+  * header-resident) per matching row, still never decoding the counted
+  * column's blob.
+  */
+case class CountColSpec(colIdx: Int) extends AggSpec
 
 /** Evaluates pushed zone predicates against a FILE-level ColZone row via
   * the same `ZonePred.rejects` dispatch the chunk-level readers use.
@@ -721,6 +731,9 @@ class BtrAggScan(dir: String, fullSchema: StructType, specs: Seq[AggSpec],
   extends Scan with Batch {
   private val outSchema = StructType(specs.map {
     case CountSpec => StructField("count", org.apache.spark.sql.types.LongType, nullable = false)
+    case CountColSpec(c) =>
+      StructField(s"count(${fullSchema.fields(c).name})",
+        org.apache.spark.sql.types.LongType, nullable = false)
     case MinMaxSpec(c, isMin) =>
       val f = fullSchema.fields(c)
       StructField(s"${if (isMin) "min" else "max"}(${f.name})", f.dataType, nullable = true)
@@ -730,6 +743,7 @@ class BtrAggScan(dir: String, fullSchema: StructType, specs: Seq[AggSpec],
   override def description(): String = {
     val what = specs.map {
       case CountSpec => "count(*)"
+      case CountColSpec(c) => s"count(${fullSchema.fieldNames(c)})"
       case MinMaxSpec(c, isMin) => s"${if (isMin) "min" else "max"}(${fullSchema.fieldNames(c)})"
     }.mkString(",")
     s"BtrAggScan(dir=$dir, aggs=[$what]" +
@@ -799,6 +813,8 @@ class BtrAggReader(file: String, conf: org.apache.hadoop.conf.Configuration, spe
     if (emitted) return false
     var count = 0L
     val specArr = specs.toArray
+    // per-spec non-null counts for CountColSpec (CountStar shares `count`)
+    val cnt = new Array[Long](specArr.length)
     // per-spec fold state (AnyRef: java.lang boxes / byte arrays; null = no
     // value yet — surfaces as SQL NULL for an empty table)
     val acc = new Array[AnyRef](specArr.length)
@@ -838,6 +854,9 @@ class BtrAggReader(file: String, conf: org.apache.hadoop.conf.Configuration, spe
                   case 3 => foldBytes(acc, s, if (isMin) fr.zStrMin(c) else fr.zStrMax(c), isMin)
                   case _ => () // no zone: decoded below
                 }
+              case CountColSpec(c) if c < fr.nCols =>
+                // exact per-column null count in the header: zero decode
+                cnt(s) += fr.numRows - fr.nullCount(c)
               case _ => ()
             }
             s += 1
@@ -902,6 +921,9 @@ class BtrAggReader(file: String, conf: org.apache.hadoop.conf.Configuration, spe
                       case a: Array[Double]  => foldDouble(acc, s, a(i), isMin)
                       case d: DecodedStrings => foldBytes(acc, s, d.copy(i), isMin)
                     }
+                  case CountColSpec(c) if c < fr.nCols && !nullAt(c, i) =>
+                    // validity bitmap is header-resident: still no decode
+                    cnt(s) += 1
                   case _ => ()
                 }
                 s += 1
@@ -916,6 +938,7 @@ class BtrAggReader(file: String, conf: org.apache.hadoop.conf.Configuration, spe
     while (s < specArr.length) {
       specArr(s) match {
         case CountSpec => row.update(s, count)
+        case _: CountColSpec => row.update(s, cnt(s))
         case _: MinMaxSpec => row.update(s, acc(s) match {
           case null => null
           case b: Array[Byte] => UTF8String.fromBytes(b)

@@ -342,6 +342,35 @@ class ExactFilterSpec extends AnyFunSuite {
     r.close()
   }
 
+  test("count(col) pushdown: non-null counts fold from header null counts, no decode") {
+    // the battery fixture has NULLs in all three types
+    val aggs = Seq(
+      count(lit(1)).as("n"), count(col("i")).as("ni"),
+      count(col("d")).as("nd"), count(col("s")).as("ns"))
+    val q = btr.agg(aggs.head, aggs.tail: _*)
+    val want = df.agg(aggs.head, aggs.tail: _*).head()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BtrAggScan") && plan.contains("count(i)"),
+      s"count(col) must push to the source:\n$plan")
+    assert(q.head().toSeq == want.toSeq)
+
+    // under a claimed WHERE: boundary chunks use the validity bitmap per
+    // row, covered chunks fold rows - nullCount — still zero decode of the
+    // counted column
+    val q2 = btr.where(col("id").between(100, 1500))
+      .agg(count(col("i")).as("ni"), count(col("s")).as("ns"), min(col("i")).as("mn"))
+    val want2 = df.where(col("id").between(100, 1500))
+      .agg(count(col("i")).as("ni"), count(col("s")).as("ns"), min(col("i")).as("mn")).head()
+    assert(q2.queryExecution.executedPlan.toString.contains("BtrAggScan"))
+    assert(q2.head().toSeq == want2.toSeq)
+
+    // count(distinct col) must NOT push (stays a full scan + Spark agg)
+    val q3 = btr.agg(countDistinct(col("i")).as("u"))
+    assert(!q3.queryExecution.executedPlan.toString.contains("BtrAggScan"),
+      "distinct counts cannot fold from headers")
+    assert(q3.head().getLong(0) == df.agg(countDistinct(col("i"))).head().getLong(0))
+  }
+
   test("headers-only COUNT(*) rejects a flipped numRows: named checksum error, never a wrong count") {
     // The agg reader answers COUNT(*) purely from frame headers — a silent
     // bit flip in numRows would be a silently wrong aggregate if the header
