@@ -86,10 +86,39 @@ class BtrBatchTable(dir: String, schema: StructType)
   * range skip stays sound in the presence of nulls), null predicates
   * skip on them exactly.
   */
+/** Read-only view of one pruning unit's per-column zone statistics — a
+  * chunk's frame header or a file's ColZone row. Lets compound predicates
+  * reference MORE THAN ONE column during rejection (round-5): an OR over
+  * two columns rejects a unit only when each branch rejects it against its
+  * own column's zone.
+  */
+trait ZoneCtx {
+  def nCols: Int
+  def kind(c: Int): Int
+  def lmin(c: Int): Long
+  def lmax(c: Int): Long
+  def smin(c: Int): Array[Byte]
+  def smax(c: Int): Array[Byte]
+  def nullCount(c: Int): Long
+  def rows(c: Int): Long
+}
+
 sealed trait ZonePred extends Serializable {
   def colIdx: Int
+  /** Every column this predicate consults (compounds may span several) —
+    * feeds the zone index's column-subset lazy parse.
+    */
+  def cols: Seq[Int] = Seq(colIdx)
   def rejects(kind: Int, lmin: Long, lmax: Long, smin: Array[Byte], smax: Array[Byte],
       nullCount: Long, rows: Long): Boolean
+  /** Ctx-based rejection — THE dispatch every pruning site uses. Leaf
+    * predicates default to their single-column `rejects` against
+    * `colIdx`'s zone; compounds compose across columns. A column beyond
+    * the unit's width never rejects (sound).
+    */
+  def rejectsCtx(ctx: ZoneCtx): Boolean =
+    colIdx < ctx.nCols && rejects(ctx.kind(colIdx), ctx.lmin(colIdx), ctx.lmax(colIdx),
+      ctx.smin(colIdx), ctx.smax(colIdx), ctx.nullCount(colIdx), ctx.rows(colIdx))
 }
 
 /** Inclusive [lo, hi] over an int column's long zone. */
@@ -225,32 +254,32 @@ case class StringHullZonePred(colIdx: Int, lo: String, hi: String) extends ZoneP
     kind == 3 && skip(smin, smax)
 }
 
-/** Same-column disjunction (`f1 OR f2`, round-5): a unit is rejected only
-  * when BOTH branches reject it — no row can satisfy the OR iff none can
-  * satisfy either side. Compounds are single-column so they fit the
-  * per-column zone dispatch (the rejects() signature carries one column's
-  * zone); a cross-column OR stays a Spark post-scan filter, unpruned —
-  * sound, just not skipped.
+/** Disjunction (`f1 OR f2`, round-5), possibly ACROSS columns: a unit is
+  * rejected only when BOTH branches reject it (each against its own
+  * column's zone) — no row can satisfy the OR iff none can satisfy either
+  * side. All pruning dispatch is ctx-based; the single-column `rejects`
+  * is never sound for a compound and conservatively never rejects.
   */
 case class OrZonePred(l: ZonePred, r: ZonePred) extends ZonePred {
-  require(l.colIdx == r.colIdx, "compound zone predicates are single-column")
   def colIdx: Int = l.colIdx
+  override def cols: Seq[Int] = (l.cols ++ r.cols).distinct
   def rejects(kind: Int, lmin: Long, lmax: Long, smin: Array[Byte], smax: Array[Byte],
-      nullCount: Long, rows: Long): Boolean =
-    l.rejects(kind, lmin, lmax, smin, smax, nullCount, rows) &&
-      r.rejects(kind, lmin, lmax, smin, smax, nullCount, rows)
+      nullCount: Long, rows: Long): Boolean = false
+  override def rejectsCtx(ctx: ZoneCtx): Boolean =
+    l.rejectsCtx(ctx) && r.rejectsCtx(ctx)
 }
 
-/** Same-column conjunction (nested inside an OR — Spark splits top-level
-  * conjuncts itself): rejected as soon as EITHER branch rejects.
+/** Conjunction (nested inside an OR — Spark splits top-level conjuncts
+  * itself), possibly across columns: rejected as soon as EITHER branch
+  * rejects.
   */
 case class AndZonePred(l: ZonePred, r: ZonePred) extends ZonePred {
-  require(l.colIdx == r.colIdx, "compound zone predicates are single-column")
   def colIdx: Int = l.colIdx
+  override def cols: Seq[Int] = (l.cols ++ r.cols).distinct
   def rejects(kind: Int, lmin: Long, lmax: Long, smin: Array[Byte], smax: Array[Byte],
-      nullCount: Long, rows: Long): Boolean =
-    l.rejects(kind, lmin, lmax, smin, smax, nullCount, rows) ||
-      r.rejects(kind, lmin, lmax, smin, smax, nullCount, rows)
+      nullCount: Long, rows: Long): Boolean = false
+  override def rejectsCtx(ctx: ZoneCtx): Boolean =
+    l.rejectsCtx(ctx) || r.rejectsCtx(ctx)
 }
 
 /** One shared size policy for exact-set zone checks: beyond this, numeric
@@ -381,19 +410,18 @@ class BtrScanBuilder(dir: String, fullSchema: StructType)
     case IsNotNull(a) =>
       val i = fullSchema.fieldNames.indexOf(a)
       if (i >= 0) Some(NotNullZonePred(i)) else None
-    // ---- compounds (round-5). OR prunes only when both sides zone the
-    // SAME column (the per-column dispatch carries one column's zone).
-    // AND may prune from either side alone — a rejected conjunct rejects
-    // the conjunction, whatever the other side references.
+    // ---- compounds (round-5), cross-column via ZoneCtx. OR prunes when
+    // both sides are zone-able (each branch rejects against its own
+    // column); AND prunes from either side alone — a rejected conjunct
+    // rejects the conjunction, whatever the other side references.
     case Or(f1, f2) =>
       for {
         z1 <- zoneOf(f1)
         z2 <- zoneOf(f2)
-        if z1.colIdx == z2.colIdx
       } yield OrZonePred(z1, z2)
     case And(f1, f2) =>
       (zoneOf(f1), zoneOf(f2)) match {
-        case (Some(a), Some(b)) if a.colIdx == b.colIdx => Some(AndZonePred(a, b))
+        case (Some(a), Some(b)) => Some(AndZonePred(a, b))
         case (a, b) => a.orElse(b)
       }
     case Not(g) => NotRewrite(g).flatMap(zoneOf)
@@ -495,13 +523,19 @@ case class CountColSpec(colIdx: Int) extends AggSpec
   * the same `ZonePred.rejects` dispatch the chunk-level readers use.
   */
 object ZonePredEval {
-  def rejects(preds: Array[ZonePred], cols: IndexedSeq[graft.format.ColZone]): Boolean =
-    preds.exists { pr =>
-      pr.colIdx < cols.length && {
-        val z = cols(pr.colIdx)
-        pr.rejects(z.kind, z.lmin, z.lmax, z.smin, z.smax, z.nullCount, z.rows)
-      }
+  def rejects(preds: Array[ZonePred], cols: IndexedSeq[graft.format.ColZone]): Boolean = {
+    val ctx: ZoneCtx = new ZoneCtx {
+      def nCols: Int = cols.length
+      def kind(c: Int): Int = cols(c).kind
+      def lmin(c: Int): Long = cols(c).lmin
+      def lmax(c: Int): Long = cols(c).lmax
+      def smin(c: Int): Array[Byte] = cols(c).smin
+      def smax(c: Int): Array[Byte] = cols(c).smax
+      def nullCount(c: Int): Long = cols(c).nullCount
+      def rows(c: Int): Long = cols(c).rows
     }
+    preds.exists(_.rejectsCtx(ctx))
+  }
 }
 
 object BtrScan {
@@ -533,7 +567,7 @@ class BtrScan(
        else s", zoneFilters=${zones.map(z => s"${fullSchema.fieldNames(z.colIdx)}:$z").mkString(";")}" +
          s", files=${plannedFiles.length}/${allFiles.length}") +
       (if (exact.isEmpty) ""
-       else s", exactFilters=${exact.map(p => s"${fullSchema.fieldNames(p.colIdx)}:$p").mkString(";")}") +
+       else s", exactFilters=${exact.map(p => s"${p.cols.map(fullSchema.fieldNames).mkString("&")}:$p").mkString(";")}") +
       (if (limit >= 0) s", limit=$limit)" else ")")
 
   /** Runtime (join-driven) filtering — the dynamic-partition-pruning analog
@@ -607,7 +641,7 @@ class BtrScan(
         if (az.isEmpty) allFiles
         else graft.format.ZoneIndex.read(
           SparkSession.active.sparkContext.hadoopConfiguration, dir,
-          Some(az.map(_.colIdx).toSet)) match {
+          Some(az.flatMap(_.cols).toSet)) match {
           case Some(entries) =>
             val byName = entries.map(e => e.file -> e.cols).toMap
             allFiles.filter { ip =>
@@ -748,7 +782,7 @@ class BtrAggScan(dir: String, fullSchema: StructType, specs: Seq[AggSpec],
     }.mkString(",")
     s"BtrAggScan(dir=$dir, aggs=[$what]" +
       (if (exact.isEmpty) ""
-       else s", exactFilters=${exact.map(p => s"${fullSchema.fieldNames(p.colIdx)}:$p").mkString(";")}" +
+       else s", exactFilters=${exact.map(p => s"${p.cols.map(fullSchema.fieldNames).mkString("&")}:$p").mkString(";")}" +
          s", files=${plannedFiles.length}/${allFiles.length}") +
       ", headers-only with per-chunk decode fallback)"
   }
@@ -758,7 +792,7 @@ class BtrAggScan(dir: String, fullSchema: StructType, specs: Seq[AggSpec],
     if (zones.isEmpty) allFiles
     else graft.format.ZoneIndex.read(
       SparkSession.active.sparkContext.hadoopConfiguration, dir,
-      Some(zones.map(_.colIdx).toSet)) match {
+      Some(zones.flatMap(_.cols).toSet)) match {
       case Some(entries) =>
         val byName = entries.map(e => e.file -> e.cols).toMap
         allFiles.filter { ip =>
@@ -807,7 +841,6 @@ class BtrAggReader(file: String, conf: org.apache.hadoop.conf.Configuration, spe
   private var chunksTotal = 0L
   private var chunksHeaderOnly = 0L
   private var chunksDecoded = 0L
-  private val zonesByCol: Map[Int, Array[ZonePred]] = zones.groupBy(_.colIdx)
 
   override def next(): Boolean = {
     if (emitted) return false
@@ -822,24 +855,11 @@ class BtrAggReader(file: String, conf: org.apache.hadoop.conf.Configuration, spe
     try {
       while (fr.nextHeader()) {
         chunksTotal += 1
-        val rejected = {
-          var c = 0
-          var r = false
-          while (c < fr.nCols && !r) {
-            val preds = zonesByCol.getOrElse(c, null)
-            if (preds != null && preds.exists(_.rejects(fr.zKind(c), fr.zLongMin(c),
-              fr.zLongMax(c), fr.zStrMin(c), fr.zStrMax(c), fr.nullCount(c), fr.numRows)))
-              r = true
-            c += 1
-          }
-          r
-        }
+        val rejected = zones.exists(_.rejectsCtx(fr.zoneCtx))
         if (rejected) {
           fr.finishChunk()
           chunksSkipped += 1
-        } else if (exact.forall(p => p.colIdx < fr.nCols &&
-          p.allMatch(fr.zKind(p.colIdx), fr.zLongMin(p.colIdx), fr.zLongMax(p.colIdx),
-            fr.zStrMin(p.colIdx), fr.zStrMax(p.colIdx), fr.nullCount(p.colIdx), fr.numRows))) {
+        } else if (exact.forall(_.allMatchCtx(fr.zoneCtx))) {
           // every row matches: fold from headers/zones, decode only
           // zone-less agg columns (NaN / long-string / all-null cases)
           count += fr.numRows
@@ -884,7 +904,7 @@ class BtrAggReader(file: String, conf: org.apache.hadoop.conf.Configuration, spe
           // mixed chunk: decode filter + agg columns, evaluate row-by-row
           chunksDecoded += 1
           val aggCols = specArr.collect { case MinMaxSpec(c, _) => c }
-          val cols = (exact.map(_.colIdx) ++ aggCols).distinct.sorted.filter(_ < fr.nCols)
+          val cols = (exact.flatMap(_.cols) ++ aggCols).distinct.sorted.filter(_ < fr.nCols)
           val byCol = new Array[AnyRef](fr.nCols)
           cols.foreach { c =>
             val blob = fr.readBlob(c)
@@ -901,13 +921,17 @@ class BtrAggReader(file: String, conf: org.apache.hadoop.conf.Configuration, spe
             val nb = fr.nullBits(c)
             nb != null && ((nb(i >> 3) >> (i & 7)) & 1) == 1
           }
+          val dataByCol: Int => AnyRef = c => byCol(c)
           var i = 0
           while (i < fr.numRows) {
             var ok = true
             var p = 0
             while (ok && p < exact.length) {
-              val c = exact(p).colIdx
-              ok = if (nullAt(c, i)) exact(p).matchesNull else exact(p).matches(byCol(c), i)
+              val pr = exact(p)
+              ok = if (pr.isLeaf) {
+                val c = pr.colIdx
+                if (nullAt(c, i)) pr.matchesNull else pr.matches(byCol(c), i)
+              } else pr.matchesRow(dataByCol, nullAt, i)
               p += 1
             }
             if (ok) {
@@ -1077,18 +1101,20 @@ final class ChunkCursor(
   var chunkAllMatch = true
 
   // columns to READ = required output ∪ exact-filter columns (a claimed
-  // filter's column may be pruned from the output projection)
+  // filter's column may be pruned from the output projection; compounds
+  // may span several columns)
   private val readCols: Array[Int] =
-    (requiredIdx ++ exact.map(_.colIdx)).distinct.sorted
+    (requiredIdx ++ exact.flatMap(_.cols)).distinct.sorted
   // per-required-output slot -> position in readCols
   private val outSlots: Array[Int] = requiredIdx.map(c => readCols.indexOf(c))
-  // per-exact-pred -> position in readCols
-  private val predSlots: Array[Int] = exact.map(p => readCols.indexOf(p.colIdx))
+  // per-exact-pred -> position in readCols for the leaf fast path; -1
+  // marks a compound (evaluated via matchesRow)
+  private val predSlots: Array[Int] =
+    exact.map(p => if (p.isLeaf) readCols.indexOf(p.colIdx) else -1)
   // full decode state by readCols position
   private var decodedAll: Array[AnyRef] = _
   private var nullBitsAll: Array[Array[Byte]] = _
 
-  private val zonesByCol: Map[Int, Array[ZonePred]] = zones.groupBy(_.colIdx)
   // file column index -> readCols slot (-1 = not read)
   private val readPos: Array[Int] = {
     val n = if (readCols.isEmpty) 0 else readCols.max + 1
@@ -1097,14 +1123,12 @@ final class ChunkCursor(
     a
   }
 
-  /** Do column c's preds reject the current chunk, given its parsed zone?
-    * Single shared dispatch (`ZonePred.rejects`) with the file-level path.
-    */
-  private def zoneRejects(c: Int): Boolean = {
-    val preds = zonesByCol.getOrElse(c, null)
-    preds != null && preds.exists(
-      _.rejects(fr.zKind(c), fr.zLongMin(c), fr.zLongMax(c), fr.zStrMin(c), fr.zStrMax(c),
-        fr.nullCount(c), fr.numRows))
+  // multi-column accessors for compound predicates (allocated once; index
+  // by FILE column id, resolved through readPos)
+  private val dataByCol: Int => AnyRef = c => decodedAll(readPos(c))
+  private val nullByCol: (Int, Int) => Boolean = { (c, i) =>
+    val nb = nullBitsAll(readPos(c))
+    nb != null && ((nb(i >> 3) >> (i & 7)) & 1) == 1
   }
 
   /** Does row `i` of the current chunk satisfy every exact-claimed
@@ -1114,9 +1138,11 @@ final class ChunkCursor(
     var p = 0
     while (p < exact.length) {
       val slot = predSlots(p)
-      val nb = nullBitsAll(slot)
-      val isNull = nb != null && ((nb(i >> 3) >> (i & 7)) & 1) == 1
-      val ok = if (isNull) exact(p).matchesNull else exact(p).matches(decodedAll(slot), i)
+      val ok = if (slot >= 0) {
+        val nb = nullBitsAll(slot)
+        val isNull = nb != null && ((nb(i >> 3) >> (i & 7)) & 1) == 1
+        if (isNull) exact(p).matchesNull else exact(p).matches(decodedAll(slot), i)
+      } else exact(p).matchesRow(dataByCol, nullByCol, i)
       if (!ok) return false
       p += 1
     }
@@ -1130,23 +1156,17 @@ final class ChunkCursor(
     while (fr.nextHeader()) {
       chunksTotal += 1
       chunkRows = fr.numRows
-      var skipChunk = false
-      var c = 0
-      while (c < fr.nCols && !skipChunk) {
-        if (zoneRejects(c)) skipChunk = true
-        c += 1
-      }
+      // single shared dispatch (ZonePred.rejectsCtx) with the file-level
+      // path; compounds compose across columns through the ctx
+      val skipChunk = zones.exists(_.rejectsCtx(fr.zoneCtx))
       if (skipChunk) {
         fr.finishChunk()
         chunksSkipped += 1
       } else {
-        chunkAllMatch = exact.forall(p => p.colIdx < fr.nCols &&
-          p.allMatch(fr.zKind(p.colIdx), fr.zLongMin(p.colIdx), fr.zLongMax(p.colIdx),
-            fr.zStrMin(p.colIdx), fr.zStrMax(p.colIdx),
-            fr.nullCount(p.colIdx), fr.numRows))
+        chunkAllMatch = exact.forall(_.allMatchCtx(fr.zoneCtx))
         decodedAll = new Array[AnyRef](readCols.length)
         nullBitsAll = new Array[Array[Byte]](readCols.length)
-        c = 0
+        var c = 0
         while (c < fr.nCols) {
           val out = if (c < readPos.length) readPos(c) else -1
           if (out >= 0) {

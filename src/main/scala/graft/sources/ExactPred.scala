@@ -31,15 +31,36 @@ import org.apache.spark.sql.types._
   */
 sealed trait ExactPred extends Serializable {
   def colIdx: Int
+  /** Every column this predicate reads (compounds may span several). */
+  def cols: Seq[Int] = Seq(colIdx)
   /** Does a NULL row satisfy this predicate? */
   def matchesNull: Boolean
   /** Non-null row `i` of the decoded column (caller dispatches nulls). */
   def matches(decoded: AnyRef, i: Int): Boolean
+  /** Row eval with multi-column access (round-5): `data(c)` = column c's
+    * decoded values, `nullAt(c, i)` = is row i NULL at column c. Leaves
+    * default to their single column; compounds compose across columns.
+    * Readers use the direct matches/matchesNull path for single-column
+    * predicates and this for compounds.
+    */
+  def matchesRow(data: Int => AnyRef, nullAt: (Int, Int) => Boolean, i: Int): Boolean =
+    if (nullAt(colIdx, i)) matchesNull else matches(data(colIdx), i)
+  /** Leaves support the direct matches/matchesNull fast path; compounds
+    * (even same-column ones) must go through matchesRow.
+    */
+  def isLeaf: Boolean = true
   /** Can the zone + null statistics PROVE every row of the chunk matches?
     * Conservative false. kind/zone args as in ZonePred.rejects.
     */
   def allMatch(kind: Int, lmin: Long, lmax: Long, smin: Array[Byte], smax: Array[Byte],
       nullCount: Long, rows: Long): Boolean
+  /** Ctx-based all-match — THE dispatch the readers use; compounds
+    * compose across columns. A column beyond the unit's width proves
+    * nothing (conservative false).
+    */
+  def allMatchCtx(ctx: ZoneCtx): Boolean =
+    colIdx < ctx.nCols && allMatch(ctx.kind(colIdx), ctx.lmin(colIdx), ctx.lmax(colIdx),
+      ctx.smin(colIdx), ctx.smax(colIdx), ctx.nullCount(colIdx), ctx.rows(colIdx))
 }
 
 object ExactPred {
@@ -230,40 +251,49 @@ case class ContainsPred(colIdx: Int, needle: String) extends ExactPred {
       nullCount: Long, rows: Long): Boolean = false
 }
 
-/** Same-column disjunction (`f1 OR f2`, round-5). Under SQL three-valued
-  * logic a row passes a filter iff the predicate evaluates TRUE, and OR is
-  * TRUE iff at least one side is TRUE — so pass-composition is plain `||`,
-  * for NULL rows too (`x < 5 OR x IS NULL` composes matchesNull the same
-  * way). allMatch: either side proving every row proves the OR.
-  * Single-column by construction, matching the readers' per-column
-  * dispatch; cross-column ORs stay Spark post-scan filters.
+/** Disjunction (`f1 OR f2`, round-5), possibly ACROSS columns. Under SQL
+  * three-valued logic a row passes a filter iff the predicate evaluates
+  * TRUE, and OR is TRUE iff at least one side is TRUE — so
+  * pass-composition is plain `||` through matchesRow, each leaf consulting
+  * its own column's null state. allMatch: either side proving every row
+  * proves the OR. The single-column matches/matchesNull path is never
+  * sound for a compound and fails loudly if a dispatch site misses the
+  * compound-aware path.
   */
 case class OrPred(l: ExactPred, r: ExactPred) extends ExactPred {
-  require(l.colIdx == r.colIdx, "compound exact predicates are single-column")
   def colIdx: Int = l.colIdx
-  def matchesNull: Boolean = l.matchesNull || r.matchesNull
+  override def cols: Seq[Int] = (l.cols ++ r.cols).distinct
+  override def isLeaf: Boolean = false
+  def matchesNull: Boolean =
+    throw new UnsupportedOperationException("compound predicates evaluate via matchesRow")
   def matches(decoded: AnyRef, i: Int): Boolean =
-    l.matches(decoded, i) || r.matches(decoded, i)
+    throw new UnsupportedOperationException("compound predicates evaluate via matchesRow")
+  override def matchesRow(data: Int => AnyRef, nullAt: (Int, Int) => Boolean, i: Int): Boolean =
+    l.matchesRow(data, nullAt, i) || r.matchesRow(data, nullAt, i)
   def allMatch(kind: Int, lmin: Long, lmax: Long, smin: Array[Byte], smax: Array[Byte],
-      nullCount: Long, rows: Long): Boolean =
-    l.allMatch(kind, lmin, lmax, smin, smax, nullCount, rows) ||
-      r.allMatch(kind, lmin, lmax, smin, smax, nullCount, rows)
+      nullCount: Long, rows: Long): Boolean = false
+  override def allMatchCtx(ctx: ZoneCtx): Boolean =
+    l.allMatchCtx(ctx) || r.allMatchCtx(ctx)
 }
 
-/** Same-column conjunction (nested inside an OR — Spark splits top-level
-  * conjuncts itself). AND is TRUE iff both sides are TRUE: `&&` on both
-  * the row and the null path; allMatch needs both sides proven.
+/** Conjunction (nested inside an OR — Spark splits top-level conjuncts
+  * itself), possibly across columns. AND is TRUE iff both sides are TRUE:
+  * `&&` through matchesRow; allMatch needs both sides proven.
   */
 case class AndPred(l: ExactPred, r: ExactPred) extends ExactPred {
-  require(l.colIdx == r.colIdx, "compound exact predicates are single-column")
   def colIdx: Int = l.colIdx
-  def matchesNull: Boolean = l.matchesNull && r.matchesNull
+  override def cols: Seq[Int] = (l.cols ++ r.cols).distinct
+  override def isLeaf: Boolean = false
+  def matchesNull: Boolean =
+    throw new UnsupportedOperationException("compound predicates evaluate via matchesRow")
   def matches(decoded: AnyRef, i: Int): Boolean =
-    l.matches(decoded, i) && r.matches(decoded, i)
+    throw new UnsupportedOperationException("compound predicates evaluate via matchesRow")
+  override def matchesRow(data: Int => AnyRef, nullAt: (Int, Int) => Boolean, i: Int): Boolean =
+    l.matchesRow(data, nullAt, i) && r.matchesRow(data, nullAt, i)
   def allMatch(kind: Int, lmin: Long, lmax: Long, smin: Array[Byte], smax: Array[Byte],
-      nullCount: Long, rows: Long): Boolean =
-    l.allMatch(kind, lmin, lmax, smin, smax, nullCount, rows) &&
-      r.allMatch(kind, lmin, lmax, smin, smax, nullCount, rows)
+      nullCount: Long, rows: Long): Boolean = false
+  override def allMatchCtx(ctx: ZoneCtx): Boolean =
+    l.allMatchCtx(ctx) && r.allMatchCtx(ctx)
 }
 
 /** IS NULL (also `col <=> NULL`). */
@@ -395,24 +425,22 @@ object ExactFilters {
       case EqualNullSafe(a, null) => anyCol(a).map(IsNullPred)
       case IsNull(a) => anyCol(a).map(IsNullPred)
       case IsNotNull(a) => anyCol(a).map(NotNullPred)
-      // ---- compounds (round-5): claimable only when both sides are
-      // exactly evaluable on the SAME column (the readers decode one
-      // column per predicate). A partially-claimable AND must NOT be
-      // claimed — claiming one conjunct of a filter Spark considers
-      // handled would drop the other — so cross-column compounds return
-      // None and Spark keeps its own Filter (zone pruning still applies
-      // via the zone layer).
+      // ---- compounds (round-5): claimable when both sides are exactly
+      // evaluable — including across columns (matchesRow gives compounds
+      // multi-column access). A partially-claimable compound must NOT be
+      // claimed — claiming a filter Spark considers handled while
+      // enforcing only part of it would drop the rest — so one
+      // unclaimable side returns None and Spark keeps its own Filter
+      // (zone pruning still applies via the zone layer).
       case Or(f1, f2) =>
         for {
           p1 <- toExact(schema, f1)
           p2 <- toExact(schema, f2)
-          if p1.colIdx == p2.colIdx
         } yield OrPred(p1, p2)
       case And(f1, f2) =>
         for {
           p1 <- toExact(schema, f1)
           p2 <- toExact(schema, f2)
-          if p1.colIdx == p2.colIdx
         } yield AndPred(p1, p2)
       case Not(g) => NotRewrite(g).flatMap(toExact(schema, _))
       case _ => None

@@ -51,6 +51,20 @@ final class FrameReader(file: String, conf: org.apache.hadoop.conf.Configuration
   /** Where the reader is, for errors and cross-layer context. */
   def where: String = s"$file (chunk #$chunkIndex)"
 
+  /** The CURRENT chunk's zones as a ZoneCtx (valid after nextHeader()) —
+    * the dispatch view compound predicates evaluate against.
+    */
+  val zoneCtx: ZoneCtx = new ZoneCtx {
+    def nCols: Int = FrameReader.this.nCols
+    def kind(c: Int): Int = zKind(c)
+    def lmin(c: Int): Long = zLongMin(c)
+    def lmax(c: Int): Long = zLongMax(c)
+    def smin(c: Int): Array[Byte] = zStrMin(c)
+    def smax(c: Int): Array[Byte] = zStrMax(c)
+    def nullCount(c: Int): Long = FrameReader.this.nullCount(c)
+    def rows(c: Int): Long = numRows
+  }
+
   private def fail(msg: String, cause: Throwable = null): Nothing =
     throw new java.io.IOException(
       s"corrupt btr block file $file at offset $pos (chunk #$chunkIndex): $msg", cause)

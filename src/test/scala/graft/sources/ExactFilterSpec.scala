@@ -135,9 +135,12 @@ class ExactFilterSpec extends AnyFunSuite {
     check("or-of-ands")((col("id") >= 100 && col("id") <= 200) ||
       (col("id") >= 1800 && col("id") <= 1900))
     check("or-and-mixed")((col("i") > 0 && col("i") < 10) || col("i") === -20)
-    // cross-column OR — NOT claimable (stays a Spark filter), must still be exact
+    // cross-column OR — claimed via matchesRow (each leaf consults its
+    // own column's null state), must be exact on null-salted data
     check("or-cross-col")(col("i") > 5 || col("s") === "v1")
     check("or-cross-col-null")(col("i").isNull || col("d").isNull)
+    check("or-cross-col-3")(col("i") < -20 || col("d") > 3.0 || col("s").startsWith("é"))
+    check("or-cross-and")((col("i") > 0 && col("d") >= 0.0) || col("s") === "")
     // NOT shapes with exact rewrites
     check("not-gt")(!(col("i") > 5))
     check("not-lte")(!(col("i") <= -3))
@@ -178,6 +181,22 @@ class ExactFilterSpec extends AnyFunSuite {
     assert(m("chunksTotal") == 16 && m("chunksSkipped") == 14,
       s"disjoint OR ranges must skip the 14 interior chunks: $m")
     r.close()
+
+    // CROSS-COLUMN OR: a chunk skips only when BOTH branches reject it
+    // against their own columns' zones. `s = 'a'` rejects every chunk
+    // (all values start with 'x' > 'a'), so pruning reduces to the id
+    // branch; the query itself is claimed and exact.
+    val q2 = t.where(col("id") < 256 || col("s") === "a")
+    assert(q2.queryExecution.optimizedPlan.collect { case f: LFilter => f }.isEmpty,
+      s"a cross-column OR must be claimed:\n${q2.queryExecution.optimizedPlan}")
+    assert(q2.count() == 256)
+    val r2 = new BtrPartitionReader(file, conf, Array(0),
+      Array(OrZonePred(LongZonePred(0, 0, 255), StringZonePred(1, StrOp.EQ, "a"))))
+    while (r2.next()) ()
+    val m2 = r2.currentMetricsValues().map(x => x.name() -> x.value()).toMap
+    assert(m2("chunksTotal") == 16 && m2("chunksSkipped") == 15,
+      s"cross-column OR with an always-rejecting string branch skips 15: $m2")
+    r2.close()
   }
 
   test("claimable predicates leave no post-scan Filter; expressions do") {
