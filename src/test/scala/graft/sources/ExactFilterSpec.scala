@@ -158,6 +158,47 @@ class ExactFilterSpec extends AnyFunSuite {
     check("not-nullsafe")(!(col("i") <=> 7))
   }
 
+  test("randomized compound property: 60 random predicate trees agree with Spark") {
+    // deterministic-seed random AND/OR/NOT trees (depth <= 3) over the
+    // null/NaN/multibyte-salted battery fixture: the claimed subset must
+    // reproduce Spark's three-valued semantics exactly, the unclaimable
+    // remainder (deep NOTs, expression shapes) must stay Spark-filtered
+    // and still agree
+    val rnd = new scala.util.Random(20260817)
+    def leaf(): org.apache.spark.sql.Column = rnd.nextInt(12) match {
+      case 0 => col("i") > (rnd.nextInt(60) - 30)
+      case 1 => col("i") <= (rnd.nextInt(60) - 30)
+      case 2 => col("i") === (rnd.nextInt(60) - 30)
+      case 3 => col("d") > (rnd.nextInt(20) * 0.25 - 2.5)
+      case 4 => col("d") < (rnd.nextInt(20) * 0.25 - 2.5)
+      case 5 => col("s") > s"v${rnd.nextInt(23)}"
+      case 6 => col("s") === (if (rnd.nextBoolean()) s"v${rnd.nextInt(23)}" else s"é${rnd.nextInt(23)}")
+      case 7 => col("s").startsWith(if (rnd.nextBoolean()) "v1" else "é")
+      case 8 => col("i").isNull
+      case 9 => col("s").isNotNull
+      case 10 => col("i").isin(rnd.nextInt(50) - 25, rnd.nextInt(50) - 25, rnd.nextInt(50) - 25)
+      case 11 => col("id").between(rnd.nextInt(2000), rnd.nextInt(2000))
+    }
+    def tree(depth: Int): org.apache.spark.sql.Column =
+      if (depth == 0 || rnd.nextInt(3) == 0) leaf()
+      else rnd.nextInt(5) match {
+        case 0 | 1 => tree(depth - 1) || tree(depth - 1)
+        case 2 | 3 => tree(depth - 1) && tree(depth - 1)
+        case _     => !tree(depth - 1)
+      }
+    (1 to 60).foreach { k =>
+      val cond = tree(3)
+      val g = btr.where(cond).count()
+      val w = df.where(cond).count()
+      assert(g == w, s"[tree $k] count: btr=$g spark=$w cond=$cond")
+      if (k % 10 == 0) { // full row compare on a sample of trees
+        val (gd, wd) = (btr.where(cond), df.where(cond))
+        assert(gd.exceptAll(wd).count() == 0 && wd.exceptAll(gd).count() == 0,
+          s"[tree $k] rows diverge for $cond")
+      }
+    }
+  }
+
   test("same-column OR claims (no post-scan Filter) and skips chunks; disjoint ranges prune") {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
     val dir = tmp("orprune")
