@@ -523,12 +523,6 @@ object Queries {
       "CASE WHEN doc_id % 5 = 0 THEN NULL ELSE CAST(n_chars AS DOUBLE) * 0.5 END AS score_n",
       "CASE WHEN doc_id % 3 = 0 THEN NULL ELSE lang END AS lang_n")
 
-  /** IS NULL pushdown through the DSv2 source: the predicate reaches the
-    * scan as a null-statistics zone predicate — null-free FILES drop at
-    * planning (v2 zone index carries per-file null totals) and null-free
-    * CHUNKS are skipped by their exact frame null counts. Oracle = plain
-    * WHERE ... IS NULL.
-    */
   /** COUNT(col) pushdown (round-5): non-null counts fold from the v5
     * headers' exact per-column null counts — `SELECT count(x)` decodes
     * NOTHING, and under a claimed WHERE only boundary chunks consult the
@@ -549,6 +543,12 @@ object Queries {
         count(col("lang_n")).as("n_lang_nn"))
   }
 
+  /** IS NULL pushdown through the DSv2 source: the predicate reaches the
+    * scan as a null-statistics zone predicate — null-free FILES drop at
+    * planning (v2 zone index carries per-file null totals) and null-free
+    * CHUNKS are skipped by their exact frame null counts. Oracle = plain
+    * WHERE ... IS NULL.
+    */
   private def qPruneNull(s: SparkSession, dir: String): DataFrame = {
     val docs = nullDocs(s, dir)
     val out = cachedBtr(s, s"rt_nulls_${math.abs(dir.hashCode)}", docs)(o =>
@@ -830,10 +830,12 @@ object Queries {
       ("SELECT CAST(doc_id AS INTEGER) AS doc_id, lang, source FROM documents " +
         "WHERE (doc_id < 50 OR doc_id >= 450) AND NOT (lang = 'de')"),
     "q_agg_count" ->
+      // the CASE bodies mirror the nullDocs projection exactly (not a bare
+      // 1) so the oracle stays correct even if source rows ever carry NULLs
       ("SELECT COUNT(*) AS n_rows, " +
-        "COUNT(CASE WHEN doc_id % 7 = 0 THEN NULL ELSE 1 END) AS n_chars_nn, " +
-        "COUNT(CASE WHEN doc_id % 5 = 0 THEN NULL ELSE 1 END) AS n_score_nn, " +
-        "COUNT(CASE WHEN doc_id % 3 = 0 THEN NULL ELSE 1 END) AS n_lang_nn " +
+        "COUNT(CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END) AS n_chars_nn, " +
+        "COUNT(CASE WHEN doc_id % 5 = 0 THEN NULL ELSE n_chars END) AS n_score_nn, " +
+        "COUNT(CASE WHEN doc_id % 3 = 0 THEN NULL ELSE lang END) AS n_lang_nn " +
         "FROM documents WHERE doc_id < 400"),
     "q_join_runtime" ->
       ("SELECT CAST(a.doc_id AS INTEGER) AS doc_id, a.lang, b.source AS dim_source " +

@@ -296,6 +296,7 @@ class BtrScanBuilder(dir: String, fullSchema: StructType)
     with SupportsPushDownAggregates {
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var pushedZones: Array[ZonePred] = Array.empty
   private var limit: Int = -1
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
@@ -440,10 +441,13 @@ class BtrScanBuilder(dir: String, fullSchema: StructType)
     * its own Filter on top.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    exact = filters.flatMap(f => ExactFilters.toExact(fullSchema, f))
-    pushed = filters.filter(f =>
-      zoneOf(f).isDefined || ExactFilters.toExact(fullSchema, f).isDefined)
-    filters.filter(f => ExactFilters.toExact(fullSchema, f).isEmpty)
+    // classify each filter ONCE (toExact/zoneOf recurse through compound
+    // trees; re-running them per use is wasted planning time)
+    val classified = filters.map(f => (f, ExactFilters.toExact(fullSchema, f), zoneOf(f)))
+    exact = classified.flatMap(_._2)
+    pushedZones = classified.flatMap(_._3)
+    pushed = classified.collect { case (f, e, z) if e.isDefined || z.isDefined => f }
+    classified.collect { case (f, None, _) => f }
   }
 
   private var exact: Array[ExactPred] = Array.empty
@@ -501,8 +505,8 @@ class BtrScanBuilder(dir: String, fullSchema: StructType)
 
   override def build(): Scan =
     if (aggSpecs.nonEmpty)
-      new BtrAggScan(dir, fullSchema, aggSpecs, pushed.flatMap(zoneOf), exact)
-    else new BtrScan(dir, fullSchema, required, pushed.flatMap(zoneOf), limit, exact)
+      new BtrAggScan(dir, fullSchema, aggSpecs, pushedZones, exact)
+    else new BtrScan(dir, fullSchema, required, pushedZones, limit, exact)
 }
 
 /** One pushed aggregate over the whole table (no grouping/limit; exact-
@@ -564,7 +568,7 @@ class BtrScan(
   override def description(): String =
     s"BtrScan(dir=$dir, columns=${required.fieldNames.mkString(",")}" +
       (if (zones.isEmpty) ""
-       else s", zoneFilters=${zones.map(z => s"${fullSchema.fieldNames(z.colIdx)}:$z").mkString(";")}" +
+       else s", zoneFilters=${zones.map(z => s"${z.cols.map(fullSchema.fieldNames).mkString("&")}:$z").mkString(";")}" +
          s", files=${plannedFiles.length}/${allFiles.length}") +
       (if (exact.isEmpty) ""
        else s", exactFilters=${exact.map(p => s"${p.cols.map(fullSchema.fieldNames).mkString("&")}:$p").mkString(";")}") +
