@@ -712,6 +712,36 @@ object Queries {
   private def streamSessions(s: SparkSession, dir: String): DataFrame =
     StreamingOps.userSessions(s, dir)
 
+  /** Streaming btr SOURCE (round-5): documents split into two `batch=N`
+    * sub-tables through the DSv2 write path (atomic manifest publish),
+    * then read back INCREMENTALLY by `spark.readStream.format("btr")`
+    * (BtrMicroBatchStream — offsets are the contiguously completed batch
+    * prefix) into a memory sink. Oracle = identity: the stream must
+    * deliver exactly the table, once.
+    */
+  private def streamBtrRead(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val docs = t(s, dir, "documents").select(
+      col("doc_id").cast("int").as("doc_id"), col("lang"),
+      col("n_chars").cast("int").as("n_chars"))
+    val half = (docs.count() / 2).toInt
+    val base = scratch(s, s"stream_btr_src_${math.abs(dir.hashCode)}")
+    docs.where(col("doc_id") < half).write.format("btr")
+      .mode("overwrite").option("rangeCols", "doc_id").save(s"$base/batch=0")
+    docs.where(col("doc_id") >= half).write.format("btr")
+      .mode("overwrite").option("rangeCols", "doc_id").save(s"$base/batch=1")
+    val ckpt = scratch(s, s"stream_btr_ckpt_${math.abs(dir.hashCode)}")
+    val fs = new Path(ckpt).getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(ckpt), true) // fresh offsets: read from batch 0
+    val qname = s"btr_stream_read_${math.abs(dir.hashCode)}"
+    val q = s.readStream.format("btr").load(base)
+      .writeStream.outputMode("append").format("memory").queryName(qname)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(qname)
+  }
+
   // ----------------------------------------------------------------- expose
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -738,6 +768,7 @@ object Queries {
     "q_prune_prefix" -> (qPrunePrefix _),
     "q_prune_or" -> (qPruneOr _),
     "q_agg_count" -> (qAggCount _),
+    "stream_btr_read" -> (streamBtrRead _),
     "q_join_runtime" -> (qJoinRuntime _),
     "rt_csv" -> (rtCsv _),
     "rt_nulls" -> (rtNulls _),
@@ -837,6 +868,9 @@ object Queries {
         "COUNT(CASE WHEN doc_id % 5 = 0 THEN NULL ELSE n_chars END) AS n_score_nn, " +
         "COUNT(CASE WHEN doc_id % 3 = 0 THEN NULL ELSE lang END) AS n_lang_nn " +
         "FROM documents WHERE doc_id < 400"),
+    "stream_btr_read" ->
+      ("SELECT CAST(doc_id AS INTEGER) AS doc_id, lang, " +
+        "CAST(n_chars AS INTEGER) AS n_chars FROM documents"),
     "q_join_runtime" ->
       ("SELECT CAST(a.doc_id AS INTEGER) AS doc_id, a.lang, b.source AS dim_source " +
         "FROM documents a JOIN documents b ON a.doc_id = b.doc_id " +

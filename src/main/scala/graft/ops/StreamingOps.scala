@@ -166,4 +166,31 @@ object StreamingOps {
           sum(when(col("gap") > GapUs, 1L).otherwise(0L)), lit(0L))).as("n_sessions"),
         count(lit(1)).as("n_events"))
   }
+
+  /** streamToBtr twin for the DSv2 `btr` layout (round-5): each micro-batch
+    * becomes `batch=<id>/` written through `df.write.format("btr")` —
+    * staged overwrite with manifest-on-commit, so publish is atomic and a
+    * replayed batch id is detected by its manifest and skipped
+    * (exactly-once). The output is directly consumable, incrementally, by
+    * `spark.readStream.format("btr").load(dir)` (BtrMicroBatchStream):
+    * ingest firehose → compressed columnar batches → standing decode
+    * queries, the full streaming loop over the block format.
+    */
+  def streamToBtrSource(
+      stream: DataFrame,
+      dir: String,
+      checkpointDir: String)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val out = s"$dir/batch=$id"
+        val spark = batch.sparkSession
+        val done =
+          try graft.engine.BtrTable.readManifest(spark, out).columns.nonEmpty
+          catch { case _: java.io.FileNotFoundException => false }
+        if (!done) batch.toDF().write.format("btr").mode("overwrite").save(out)
+        ()
+      }
+      .start()
 }

@@ -42,7 +42,23 @@ class BtrDataSource extends TableProvider with DataSourceRegister {
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val manifest = BtrTable.readManifest(SparkSession.active, dirOf(options))
+    val dir = dirOf(options)
+    val manifest =
+      try BtrTable.readManifest(SparkSession.active, dir)
+      catch {
+        case e: java.io.FileNotFoundException =>
+          // streaming layout (streamToBtr): per-batch sub-tables under
+          // batch=<id>/, each with its own manifest — use the first
+          // completed batch's schema (all batches share the upstream one)
+          val base = new Path(dir)
+          val fs = base.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+          val ms = fs.globStatus(new Path(base, "batch=*/" + BtrTable.ManifestFile))
+          if (ms == null || ms.isEmpty) throw e
+          val first = ms.map(_.getPath.getParent.toString).minBy { d =>
+            d.substring(d.lastIndexOf('=') + 1).toLong
+          }
+          BtrTable.readManifest(SparkSession.active, first)
+      }
     StructType(manifest.columns.map(c =>
       StructField(c.name, BtrDecoder.sparkType(c.colType), nullable = c.nullable)))
   }
@@ -65,6 +81,7 @@ class BtrBatchTable(dir: String, schema: StructType)
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -614,15 +631,22 @@ class BtrScan(
     * a small decoded dimension) instead of guessing from file sizes.
     */
   override def estimateStatistics(): Statistics = {
-    val m = BtrTable.readManifest(SparkSession.active, dir)
+    // a streaming-layout dir (batch=* sub-tables) has no top-level
+    // manifest: report unknown rather than fail
+    val m = try Some(BtrTable.readManifest(SparkSession.active, dir))
+            catch { case _: java.io.FileNotFoundException => None }
     val frac =
       if (required.isEmpty) 0.05
       else required.fieldNames.length.toDouble / math.max(1, fullSchema.length)
     new Statistics {
-      override def sizeInBytes(): java.util.OptionalLong =
-        java.util.OptionalLong.of(math.max(1L, (m.rawBytes * frac).toLong))
-      override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.of(m.numRows)
+      override def sizeInBytes(): java.util.OptionalLong = m match {
+        case Some(mm) => java.util.OptionalLong.of(math.max(1L, (mm.rawBytes * frac).toLong))
+        case None => java.util.OptionalLong.empty()
+      }
+      override def numRows(): java.util.OptionalLong = m match {
+        case Some(mm) => java.util.OptionalLong.of(mm.numRows)
+        case None => java.util.OptionalLong.empty()
+      }
     }
   }
 
@@ -671,8 +695,11 @@ class BtrScan(
     * chunks skipped inside surviving files.
     */
   override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
-    Array(FilesSkippedTaskMetric(allFiles.length - plannedFiles.length),
+    if (streaming) Array.empty // per-batch planning happens in the stream
+    else Array(FilesSkippedTaskMetric(allFiles.length - plannedFiles.length),
       FilesTotalTaskMetric(allFiles.length))
+
+  @volatile private var streaming = false
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.active
@@ -683,6 +710,95 @@ class BtrScan(
     factoryRef = f
     f
   }
+
+  /** `spark.readStream.format("btr").load(dir)` over a streamToBtr
+    * directory — the decode twin of the manifest-gated streaming ingest.
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+    : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    streaming = true
+    new BtrMicroBatchStream(dir, fullSchema, required, zones, exact)
+  }
+}
+
+/** Micro-batch streaming source over a streamToBtr directory (round-5):
+  * `dir/batch=<id>/` per-batch sub-tables, each published by an ATOMIC
+  * manifest rename (BtrTable.writeManifest), so a batch is either fully
+  * visible or fully invisible — never half-read. Offsets count the
+  * CONTIGUOUSLY completed batch prefix: foreachBatch commits ids 0,1,2…
+  * serially, and the contiguity guard makes an out-of-order or in-flight
+  * manifest invisible rather than letting a later batch be read before an
+  * earlier gap. Each micro-batch plans only the NEW batches' block files,
+  * through the same pushed zone/claimed-filter machinery as the batch
+  * scan — including per-batch-dir file-level zone-index pruning, so a
+  * selective standing query on a growing table skips whole batch files
+  * before any task launches. At 100 TB ingest rates the per-trigger cost
+  * is one manifest glob + the new batches' listings, independent of
+  * table history.
+  */
+class BtrMicroBatchStream(
+    dir: String,
+    fullSchema: StructType,
+    required: StructType,
+    zones: Array[ZonePred],
+    exact: Array[ExactPred])
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def conf = SparkSession.active.sparkContext.hadoopConfiguration
+
+  private case class BatchOffset(batches: Long) extends Offset {
+    override def json: String = s"""{"batches":$batches}"""
+  }
+
+  /** Length of the contiguous completed-batch prefix 0..k-1. */
+  private def completed(): Long = {
+    val base = new Path(dir)
+    val fs = base.getFileSystem(conf)
+    val ms = fs.globStatus(new Path(base, "batch=*/" + BtrTable.ManifestFile))
+    if (ms == null || ms.isEmpty) 0L
+    else {
+      val ids = ms.map(_.getPath.getParent.getName.stripPrefix("batch=").toLong).sorted
+      var k = 0L
+      var i = 0
+      while (i < ids.length && ids(i) == k) { k += 1; i += 1 }
+      k
+    }
+  }
+
+  override def initialOffset(): Offset = BatchOffset(0L)
+  override def latestOffset(): Offset = BatchOffset(completed())
+  override def deserializeOffset(json: String): Offset =
+    BatchOffset("""\d+""".r.findFirstIn(json).getOrElse(
+      throw new IllegalArgumentException(s"bad btr stream offset: $json")).toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[BatchOffset].batches
+    val e = end.asInstanceOf[BatchOffset].batches
+    (s until e).flatMap { id =>
+      val bdir = s"$dir/batch=$id"
+      val files = BtrScan.listBlockFiles(bdir)
+      if (zones.isEmpty) files
+      else graft.format.ZoneIndex.read(conf, bdir, Some(zones.flatMap(_.cols).toSet)) match {
+        case Some(entries) =>
+          val byName = entries.map(e0 => e0.file -> e0.cols).toMap
+          files.filter { ip =>
+            val name = new Path(ip.asInstanceOf[BtrInputPartition].file).getName
+            byName.get(name).forall(cs => !ZonePredEval.rejects(zones, cs))
+          }
+        case None => files
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val confB = ConfShim.broadcast(SparkSession.active.sparkContext)
+    val colIdx = required.fieldNames.map(n => fullSchema.fieldIndex(n))
+    BtrReaderFactory(confB, colIdx, zones, -1, exact)
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 /** Translates Spark's runtime V2 predicates (IN / = over one column with
