@@ -543,6 +543,28 @@ object Queries {
         count(col("lang_n")).as("n_lang_nn"))
   }
 
+  /** SUM(col) pushdown (round-5, v6 frames): numeric zones carry each
+    * chunk's exact NON-NULL sum, so a filtered SUM folds fully-covered
+    * chunks from headers alone and decodes only boundary chunks — the
+    * byte-volume/records-ingested probe (`SELECT sum(bytes) WHERE day=…`)
+    * that runs constantly against a 100 TB ingest. Int sums are exact in
+    * i64; the double column is an exact multiple of 0.5, so its sum is
+    * association-independent and DuckDB-hash-comparable. Oracle = the same
+    * aggregates in DuckDB.
+    */
+  private def qAggSum(s: SparkSession, dir: String): DataFrame = {
+    val docs = nullDocs(s, dir)
+    val out = cachedBtr(s, s"rt_nulls_${math.abs(dir.hashCode)}", docs)(o =>
+      docs.write.format("btr").mode("overwrite").option("rangeCols", "doc_id").save(o))
+    s.read.format("btr").load(out)
+      .where(col("doc_id") < 400)
+      .agg(
+        sum(col("doc_id")).as("sum_doc"),
+        sum(col("n_chars_n")).as("sum_chars"),
+        sum(col("score_n")).as("sum_score"),
+        count(lit(1)).as("n_rows"))
+  }
+
   /** IS NULL pushdown through the DSv2 source: the predicate reaches the
     * scan as a null-statistics zone predicate — null-free FILES drop at
     * planning (v2 zone index carries per-file null totals) and null-free
@@ -768,6 +790,7 @@ object Queries {
     "q_prune_prefix" -> (qPrunePrefix _),
     "q_prune_or" -> (qPruneOr _),
     "q_agg_count" -> (qAggCount _),
+    "q_agg_sum" -> (qAggSum _),
     "stream_btr_read" -> (streamBtrRead _),
     "q_join_runtime" -> (qJoinRuntime _),
     "rt_csv" -> (rtCsv _),
@@ -868,6 +891,13 @@ object Queries {
         "COUNT(CASE WHEN doc_id % 5 = 0 THEN NULL ELSE n_chars END) AS n_score_nn, " +
         "COUNT(CASE WHEN doc_id % 3 = 0 THEN NULL ELSE lang END) AS n_lang_nn " +
         "FROM documents WHERE doc_id < 400"),
+    "q_agg_sum" ->
+      // CASE bodies mirror the nullDocs projection; sums CAST to BIGINT to
+      // match Spark's sum(int) result type (DuckDB's is HUGEINT)
+      ("SELECT CAST(SUM(doc_id) AS BIGINT) AS sum_doc, " +
+        "CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END) AS BIGINT) AS sum_chars, " +
+        "SUM(CASE WHEN doc_id % 5 = 0 THEN NULL ELSE CAST(n_chars AS DOUBLE) * 0.5 END) AS sum_score, " +
+        "COUNT(*) AS n_rows FROM documents WHERE doc_id < 400"),
     "stream_btr_read" ->
       ("SELECT CAST(doc_id AS INTEGER) AS doc_id, lang, " +
         "CAST(n_chars AS INTEGER) AS n_chars FROM documents"),

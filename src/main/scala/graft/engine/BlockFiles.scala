@@ -24,7 +24,12 @@ import java.nio.charset.StandardCharsets.UTF_8
   *   [col blobs…]
   * zoneKind: 0 = none; 1 = long [i64 min][i64 max]; 2 = double
   * [f64bits min][f64bits max]; 3 = string [u8 len][bytes][u8 len][bytes]
-  * (UTF-8, each ≤ 64 bytes — longer extrema are dropped, not truncated).
+  * (UTF-8, each ≤ 64 bytes — longer extrema are dropped, not truncated);
+  * v6 adds 4 = long [i64 min][i64 max][i64 sum] and 5 = double
+  * [f64bits min][f64bits max][f64bits sum] — numeric zones carrying the
+  * chunk's exact NON-NULL sum, so SUM(col) folds from headers exactly
+  * like MIN/MAX/COUNT (current writers always emit 4/5 for numeric
+  * zones; 1/2 remain readable from v3-v5 files).
   * With nulls present, zones cover the NON-NULL values only (null rows
   * store placeholders in the blob and can never satisfy a comparison).
   * The per-column zone maps let a reader skip whole chunks against pushed
@@ -43,13 +48,13 @@ import java.nio.charset.StandardCharsets.UTF_8
   * A reader verifies exactly what it touches: the header always, each blob
   * only when actually read (pruned/skipped bytes stay unread).
   *
-  * v1 (no zones), v2 (int-only zones), v3 (typed zones, no CRC) and v4
-  * (CRC, no nulls, meta-only headerCrc) frames remain readable. File
-  * header: "BTRS" magic + u8 version.
+  * v1 (no zones), v2 (int-only zones), v3 (typed zones, no CRC), v4
+  * (CRC, no nulls, meta-only headerCrc) and v5 (nulls, no zone sums)
+  * frames remain readable. File header: "BTRS" magic + u8 version.
   */
 object BlockFiles {
   final val Magic = 0x53525442 // "BTRS" little-endian
-  final val Version = 5
+  final val Version = 6
 
   /** One encoded chunk as a self-contained frame plus its stats — the unit
     * that the compressed range exchange shuffles (a frame is ~ratio×
@@ -136,22 +141,31 @@ object BlockFiles {
 
   /** [u8 zoneKind][payload] for one part (see frame doc above). */
   private def zonePayload(p: CompressedPart): Array[Byte] = {
-    def longs(kind: Int, mn: Long, mx: Long): Array[Byte] = {
-      val b = new Array[Byte](17)
+    def longs(kind: Int, vs: Long*): Array[Byte] = {
+      val b = new Array[Byte](1 + 8 * vs.length)
       b(0) = kind.toByte
-      var v = mn
       var o = 1
-      var k = 0
-      while (k < 8) { b(o) = v.toByte; v >>>= 8; o += 1; k += 1 }
-      v = mx
-      k = 0
-      while (k < 8) { b(o) = v.toByte; v >>>= 8; o += 1; k += 1 }
+      vs.foreach { v0 =>
+        var v = v0
+        var k = 0
+        while (k < 8) { b(o) = v.toByte; v >>>= 8; o += 1; k += 1 }
+      }
       b
     }
+    def bits(d: Double): Long = java.lang.Double.doubleToLongBits(d)
     (p.minLong, p.maxLong, p.minDouble, p.maxDouble, p.minStr, p.maxStr) match {
-      case (Some(mn), Some(mx), _, _, _, _) => longs(1, mn, mx)
+      case (Some(mn), Some(mx), _, _, _, _) =>
+        // current encoders always carry the sum alongside a numeric zone;
+        // the sum-less kinds stay writable for parts from older tables
+        p.sumLong match {
+          case Some(sm) => longs(4, mn, mx, sm)
+          case None     => longs(1, mn, mx)
+        }
       case (_, _, Some(mn), Some(mx), _, _) =>
-        longs(2, java.lang.Double.doubleToLongBits(mn), java.lang.Double.doubleToLongBits(mx))
+        p.sumDouble match {
+          case Some(sm) => longs(5, bits(mn), bits(mx), bits(sm))
+          case None     => longs(2, bits(mn), bits(mx))
+        }
       case (_, _, _, _, Some(mn), Some(mx)) =>
         val bn = mn.getBytes(UTF_8)
         val bx = mx.getBytes(UTF_8)

@@ -194,8 +194,6 @@ object BtrDecoder {
         columns.map(n =>
           byName.getOrElse(n, throw new IllegalArgumentException(s"no column '$n' in $dir")))
       }
-    import spark.implicits._
-    val parts = spark.read.parquet(s"$dir/parts").as[CompressedPart]
-    decode(parts, selected)
+    decode(BtrTable.parts(spark, dir), selected)
   }
 }

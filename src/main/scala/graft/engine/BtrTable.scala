@@ -328,7 +328,20 @@ object BtrTable {
 
   def parts(spark: SparkSession, dir: String): Dataset[CompressedPart] = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/parts").as[CompressedPart]
+    import org.apache.spark.sql.types.{BinaryType, DoubleType, IntegerType, LongType}
+    // CompressedPart gained defaulted fields across rounds (nulls, sums);
+    // tables written before a field existed lack its parquet column — add
+    // it as its default so one Dataset type reads every generation
+    val raw = spark.read.parquet(s"$dir/parts")
+    val defaults: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "nullCount" -> lit(0).cast(IntegerType),
+      "nullBits" -> lit(null).cast(BinaryType),
+      "sumLong" -> lit(null).cast(LongType),
+      "sumDouble" -> lit(null).cast(DoubleType))
+    val have = raw.columns.toSet
+    defaults.foldLeft(raw) { case (df, (n, c)) =>
+      if (have(n)) df else df.withColumn(n, c)
+    }.as[CompressedPart]
   }
 
   /** Per-column codec-choice/ratio metrics (north rule: persisted metrics).

@@ -39,14 +39,17 @@ object ChunkEncoder {
     val out = new BufWriter(len * 2 + 64)
     IntCodec.encode(out, v, 0, len, cfg.maxCascadeDepth, cfg)
     val bytes = out.result()
-    // zone extrema over NON-NULL values only (null rows hold placeholders)
+    // zone extrema + sum over NON-NULL values only (null rows hold
+    // placeholders); the i64 sum is exact (<= 2^16 rows x 32-bit values)
     var mn = Long.MaxValue
     var mx = Long.MinValue
+    var sm = 0L
     var i = 0
     while (i < len) {
       if (!isNull(nullWords, i)) {
         if (v(i) < mn) mn = v(i)
         if (v(i) > mx) mx = v(i)
+        sm += v(i)
       }
       i += 1
     }
@@ -56,7 +59,8 @@ object ChunkEncoder {
       IntCodec.describe(new BufReader(bytes)), 4L * len, bytes.length, bytes,
       if (hasRange) Some(mn) else None, if (hasRange) Some(mx) else None,
       None, None, None, None,
-      nullCount, bitmapBytes(nullWords, nullCount, len))
+      nullCount, bitmapBytes(nullWords, nullCount, len),
+      sumLong = if (hasRange) Some(sm) else None)
   }
 
   def encodeDouble(
@@ -74,6 +78,7 @@ object ChunkEncoder {
     // where -0.0 < 0.0. Non-null values only.
     var mn = Double.PositiveInfinity
     var mx = Double.NegativeInfinity
+    var sm = 0.0
     var sawNaN = false
     var i = 0
     while (i < len) {
@@ -83,6 +88,7 @@ object ChunkEncoder {
         else {
           if (java.lang.Double.compare(x, mn) < 0) mn = x
           if (java.lang.Double.compare(x, mx) > 0) mx = x
+          sm += x
         }
       }
       i += 1
@@ -94,7 +100,8 @@ object ChunkEncoder {
       None, None,
       if (hasRange) Some(mn) else None, if (hasRange) Some(mx) else None,
       None, None,
-      nullCount, bitmapBytes(nullWords, nullCount, len))
+      nullCount, bitmapBytes(nullWords, nullCount, len),
+      sumDouble = if (hasRange) Some(sm) else None)
   }
 
   /** Arena-based string chunk encode (the engine's hot path). */

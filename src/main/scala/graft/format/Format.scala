@@ -36,7 +36,15 @@ final case class CompressedPart(
     // bitmap. bit i set = row i is NULL (placeholder value stored in the
     // blob: 0 / 0.0 / ""); nullBits is null when nullCount == 0.
     nullCount: Int = 0,
-    nullBits: Array[Byte] = null)
+    nullBits: Array[Byte] = null,
+    // sum extension (round-5, v6 frames): exact per-chunk sum over the
+    // NON-NULL values, present iff the chunk has a zone (same hasRange
+    // condition — NaN/all-null chunks carry neither and decode instead).
+    // Lets SUM(col) fold from headers like MIN/MAX/COUNT already do.
+    // Int sums are exact in i64 (<= 2^16 rows x 2^31); double sums
+    // accumulate in chunk row order, the same order a decode would visit.
+    sumLong: Option[Long] = None,
+    sumDouble: Option[Double] = None)
 
 final case class ColumnMeta(name: String, colType: Int, nullable: Boolean = false)
 

@@ -177,7 +177,7 @@ object ZoneIndex {
 }
 
 /** Folds per-frame (chunk) zone maps into one file-level zone per column by
-  * parsing v5 frame headers from their serialized bytes — the single fold
+  * parsing current-version frame headers from their serialized bytes — the single fold
   * implementation shared by every writer (RDD block writer, compressed
   * exchange reducer, DSv2 DataWriter; writers only ever produce the
   * current frame version). A column whose ANY chunk lacks a zone folds to
@@ -219,6 +219,7 @@ final class ZoneAccumulator {
         u8() match {
           case 0 => ()
           case 1 | 2 => p += 16
+          case 4 | 5 => p += 24 // v6: min + max + sum
           case 3 =>
             // NOT `p += u8()`: the left operand of += is read before u8()
             // advances p, which would drop the length byte itself
@@ -253,8 +254,13 @@ final class ZoneAccumulator {
       i32() // blobCrc
       u8() match {
         case 0 => kind(c) = 0
-        case k @ (1 | 2) =>
+        case k0 @ (1 | 2 | 4 | 5) =>
+          // v6 sum-carrying kinds fold as their plain 1/2 min/max (the
+          // file-level index stays sum-free; the agg reader takes sums
+          // from the frame headers it streams anyway)
+          val k = if (k0 >= 4) k0 - 3 else k0
           val mn = i64(); val mx = i64()
+          if (k0 >= 4) i64() // discard the chunk sum
           if (kind(c) == -1) { kind(c) = k; lmin(c) = mn; lmax(c) = mx }
           else if (kind(c) == k) {
             if (k == 1) {

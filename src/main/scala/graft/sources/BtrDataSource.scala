@@ -496,7 +496,7 @@ class BtrScanBuilder(dir: String, fullSchema: StructType)
 
   override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     import org.apache.spark.sql.connector.expressions.NamedReference
-    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min, Sum}
     def colRef(e: org.apache.spark.sql.connector.expressions.Expression): Option[Int] = e match {
       case nr: NamedReference if nr.fieldNames.length == 1 =>
         val i = fullSchema.fieldNames.indexOf(nr.fieldNames()(0))
@@ -513,6 +513,17 @@ class BtrScanBuilder(dir: String, fullSchema: StructType)
       case c: Count if !c.isDistinct => colRef(c.column).map(CountColSpec)
       case m: Min => colRef(m.column).map(MinMaxSpec(_, isMin = true))
       case m: Max => colRef(m.column).map(MinMaxSpec(_, isMin = false))
+      case sm: Sum if !sm.isDistinct =>
+        // v6 zones carry exact per-chunk non-null sums for both numeric
+        // types; the partial emitted is Long for int columns (exact i64)
+        // and Double for double columns
+        colRef(sm.column).flatMap { i =>
+          fullSchema.fields(i).dataType match {
+            case org.apache.spark.sql.types.IntegerType => Some(SumSpec(i, isDouble = false))
+            case org.apache.spark.sql.types.DoubleType  => Some(SumSpec(i, isDouble = true))
+            case _ => None
+          }
+        }
       case _ => None
     }
     if (specs.forall(_.isDefined)) { aggSpecs = specs.flatten; true } else false
@@ -539,6 +550,14 @@ case class MinMaxSpec(colIdx: Int, isMin: Boolean) extends AggSpec
   * column's blob.
   */
 case class CountColSpec(colIdx: Int) extends AggSpec
+/** SUM(col) — v6 numeric zones (kinds 4/5) carry the chunk's exact
+  * NON-NULL sum, so fully-matching chunks fold from headers with zero
+  * decode; zone-less chunks (NaN, all-null, pre-v6 files) decode the one
+  * column and sum its live values. The partial is exact for int columns
+  * (i64 over ≤2^16-row chunks cannot overflow); double partials
+  * accumulate in chunk row order, the order a decode would visit.
+  */
+case class SumSpec(colIdx: Int, isDouble: Boolean) extends AggSpec
 
 /** Evaluates pushed zone predicates against a FILE-level ColZone row via
   * the same `ZonePred.rejects` dispatch the chunk-level readers use.
@@ -891,6 +910,12 @@ class BtrAggScan(dir: String, fullSchema: StructType, specs: Seq[AggSpec],
     case MinMaxSpec(c, isMin) =>
       val f = fullSchema.fields(c)
       StructField(s"${if (isMin) "min" else "max"}(${f.name})", f.dataType, nullable = true)
+    case SumSpec(c, isDouble) =>
+      // the partial's type matches Sum's result type over it: Spark wraps
+      // this column in the final Sum, so int columns emit exact i64
+      StructField(s"sum(${fullSchema.fields(c).name})",
+        if (isDouble) org.apache.spark.sql.types.DoubleType
+        else org.apache.spark.sql.types.LongType, nullable = true)
   })
   override def readSchema(): StructType = outSchema
   override def toBatch: Batch = this
@@ -899,6 +924,7 @@ class BtrAggScan(dir: String, fullSchema: StructType, specs: Seq[AggSpec],
       case CountSpec => "count(*)"
       case CountColSpec(c) => s"count(${fullSchema.fieldNames(c)})"
       case MinMaxSpec(c, isMin) => s"${if (isMin) "min" else "max"}(${fullSchema.fieldNames(c)})"
+      case SumSpec(c, _) => s"sum(${fullSchema.fieldNames(c)})"
     }.mkString(",")
     s"BtrAggScan(dir=$dir, aggs=[$what]" +
       (if (exact.isEmpty) ""
@@ -968,6 +994,10 @@ class BtrAggReader(file: String, conf: org.apache.hadoop.conf.Configuration, spe
     val specArr = specs.toArray
     // per-spec non-null counts for CountColSpec (CountStar shares `count`)
     val cnt = new Array[Long](specArr.length)
+    // per-spec SUM state; seen=false surfaces as SQL NULL (no non-null row)
+    val sumL = new Array[Long](specArr.length)
+    val sumD = new Array[Double](specArr.length)
+    val sumSeen = new Array[Boolean](specArr.length)
     // per-spec fold state (AnyRef: java.lang boxes / byte arrays; null = no
     // value yet — surfaces as SQL NULL for an empty table)
     val acc = new Array[AnyRef](specArr.length)
@@ -997,6 +1027,11 @@ class BtrAggReader(file: String, conf: org.apache.hadoop.conf.Configuration, spe
               case CountColSpec(c) if c < fr.nCols =>
                 // exact per-column null count in the header: zero decode
                 cnt(s) += fr.numRows - fr.nullCount(c)
+              case SumSpec(c, isDouble) if c < fr.nCols && fr.zHasSum(c) =>
+                // v6 zone carries the chunk's exact non-null sum
+                if (isDouble) sumD(s) += java.lang.Double.longBitsToDouble(fr.zSumBits(c))
+                else sumL(s) += fr.zSumBits(c)
+                sumSeen(s) = true
               case _ => ()
             }
             s += 1
@@ -1008,22 +1043,32 @@ class BtrAggReader(file: String, conf: org.apache.hadoop.conf.Configuration, spe
           val needCols = specArr.indices
             .filter(s => specArr(s) match {
               case MinMaxSpec(c, _) => c < fr.nCols && fr.zKind(c) == 0 && fr.nullCount(c) < fr.numRows
+              case SumSpec(c, _) => c < fr.nCols && !fr.zHasSum(c) && fr.nullCount(c) < fr.numRows
               case _ => false
             })
-            .sortBy(s => specArr(s).asInstanceOf[MinMaxSpec].colIdx)
+            .sortBy(s => specCol(specArr(s)))
           var lastCol = -1
           var blob: Array[Byte] = null
           needCols.foreach { s =>
-            val spec = specArr(s).asInstanceOf[MinMaxSpec]
-            if (spec.colIdx != lastCol) { blob = fr.readBlob(spec.colIdx); lastCol = spec.colIdx }
-            foldDecoded(acc, s, fr.colType(spec.colIdx), blob, spec.isMin, fr.nullBits(spec.colIdx))
+            val c = specCol(specArr(s))
+            if (c != lastCol) { blob = fr.readBlob(c); lastCol = c }
+            specArr(s) match {
+              case MinMaxSpec(_, isMin) =>
+                foldDecoded(acc, s, fr.colType(c), blob, isMin, fr.nullBits(c))
+              case _: SumSpec =>
+                sumDecoded(sumL, sumD, sumSeen, s, fr.colType(c), blob, fr.nullBits(c))
+              case _ => ()
+            }
           }
           if (needCols.isEmpty) chunksHeaderOnly += 1 else chunksDecoded += 1
           fr.finishChunk()
         } else {
           // mixed chunk: decode filter + agg columns, evaluate row-by-row
           chunksDecoded += 1
-          val aggCols = specArr.collect { case MinMaxSpec(c, _) => c }
+          val aggCols = specArr.collect {
+            case MinMaxSpec(c, _) => c
+            case SumSpec(c, _) => c
+          }
           val cols = (exact.flatMap(_.cols) ++ aggCols).distinct.sorted.filter(_ < fr.nCols)
           val byCol = new Array[AnyRef](fr.nCols)
           cols.foreach { c =>
@@ -1068,6 +1113,12 @@ class BtrAggReader(file: String, conf: org.apache.hadoop.conf.Configuration, spe
                   case CountColSpec(c) if c < fr.nCols && !nullAt(c, i) =>
                     // validity bitmap is header-resident: still no decode
                     cnt(s) += 1
+                  case SumSpec(c, _) if c < fr.nCols && !nullAt(c, i) =>
+                    byCol(c) match {
+                      case a: Array[Int]    => sumL(s) += a(i); sumSeen(s) = true
+                      case a: Array[Double] => sumD(s) += a(i); sumSeen(s) = true
+                      case _ => ()
+                    }
                   case _ => ()
                 }
                 s += 1
@@ -1083,6 +1134,10 @@ class BtrAggReader(file: String, conf: org.apache.hadoop.conf.Configuration, spe
       specArr(s) match {
         case CountSpec => row.update(s, count)
         case _: CountColSpec => row.update(s, cnt(s))
+        case SumSpec(_, isDouble) => row.update(s,
+          if (!sumSeen(s)) null
+          else if (isDouble) Double.box(sumD(s))
+          else Long.box(sumL(s)))
         case _: MinMaxSpec => row.update(s, acc(s) match {
           case null => null
           case b: Array[Byte] => UTF8String.fromBytes(b)
@@ -1093,6 +1148,34 @@ class BtrAggReader(file: String, conf: org.apache.hadoop.conf.Configuration, spe
     }
     emitted = true
     true
+  }
+
+  private def specCol(sp: AggSpec): Int = sp match {
+    case MinMaxSpec(c, _) => c
+    case SumSpec(c, _)    => c
+    case CountColSpec(c)  => c
+    case CountSpec        => -1
+  }
+
+  /** Decode-fallback SUM fold for chunks without a header sum (pre-v6
+    * files, NaN chunks): sums the column's live (non-null) values.
+    */
+  private def sumDecoded(sumL: Array[Long], sumD: Array[Double], seen: Array[Boolean],
+      s: Int, colType: Int, blob: Array[Byte], nullBits: Array[Byte]): Unit = {
+    @inline def live(i: Int): Boolean =
+      nullBits == null || ((nullBits(i >> 3) >> (i & 7)) & 1) == 0
+    colType match {
+      case t if t == ColType.Integer.toInt =>
+        val a = IntCodec.decode(blob)
+        var i = 0
+        while (i < a.length) { if (live(i)) { sumL(s) += a(i); seen(s) = true }; i += 1 }
+      case t if t == ColType.Double.toInt =>
+        val a = DoubleCodec.decode(blob)
+        var i = 0
+        while (i < a.length) { if (live(i)) { sumD(s) += a(i); seen(s) = true }; i += 1 }
+      case t => throw new java.io.IOException(
+        s"corrupt btr block file $file: column type $t under SUM pushdown")
+    }
   }
 
   private def foldLong(acc: Array[AnyRef], s: Int, v: Long, isMin: Boolean): Unit = {

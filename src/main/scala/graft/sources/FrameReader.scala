@@ -15,11 +15,13 @@ import org.apache.hadoop.fs.Path
   *
   * Zone kinds (see BlockFiles frame doc): 0 none, 1 long [i64,i64],
   * 2 double [f64bits,f64bits] (stored in the long fields), 3 string
-  * [u8 len][bytes] x2. v1 frames have no zones, v2 int-only zones; v5
-  * adds per-column null counts + validity bitmaps and extends the header
-  * CRC to cover numRows/nCols (v4's covered only the meta section, so its
-  * header-only COUNT(*) path trusts an unchecked numRows — a known,
-  * version-frozen limitation; current writers emit v5).
+  * [u8 len][bytes] x2, 4/5 the long/double zones plus a trailing exact
+  * NON-NULL sum (v6; surfaced as zKind 1/2 + zHasSum/zSumBits). v1 frames
+  * have no zones, v2 int-only zones; v5 adds per-column null counts +
+  * validity bitmaps and extends the header CRC to cover numRows/nCols
+  * (v4's covered only the meta section, so its header-only COUNT(*) path
+  * trusts an unchecked numRows — a known, version-frozen limitation;
+  * current writers emit v6).
   */
 final class FrameReader(file: String, conf: org.apache.hadoop.conf.Configuration) {
 
@@ -41,6 +43,11 @@ final class FrameReader(file: String, conf: org.apache.hadoop.conf.Configuration
   var zLongMax: Array[Long] = Array.empty
   var zStrMin: Array[Array[Byte]] = Array.empty
   var zStrMax: Array[Array[Byte]] = Array.empty
+  // sum extension (v6 zone kinds 4/5): exact per-chunk NON-NULL sum.
+  // Long sums directly; double sums as raw f64 bits. zHasSum false for
+  // v1-v5 frames and zone-less columns — consumers fall back to decode.
+  var zSumBits: Array[Long] = Array.empty
+  var zHasSum: Array[Boolean] = Array.empty
   // null extension (v5): per-column null count + validity bitmap (bit i set
   // = row i NULL; null array slot when the column has no nulls). v1-v4
   // frames come from the null-rejecting encoder: always 0 / null.
@@ -133,6 +140,8 @@ final class FrameReader(file: String, conf: org.apache.hadoop.conf.Configuration
       zLongMax = new Array[Long](nCols)
       zStrMin = new Array[Array[Byte]](nCols)
       zStrMax = new Array[Array[Byte]](nCols)
+      zSumBits = new Array[Long](nCols)
+      zHasSum = new Array[Boolean](nCols)
       nullCount = new Array[Int](nCols)
       nullBits = new Array[Array[Byte]](nCols)
     }
@@ -142,6 +151,7 @@ final class FrameReader(file: String, conf: org.apache.hadoop.conf.Configuration
     var c = 0
     while (c < nCols) {
       colType(c) = u8(s"column $c type")
+      zHasSum(c) = false // arrays are reused across chunks
       blobLen(c) = i32(s"column $c blob length")
       if (blobLen(c) < 0) fail(s"negative blob length ${blobLen(c)} for column $c")
       if (version >= 4) blobCrc(c) = i32(s"column $c blob checksum")
@@ -161,6 +171,14 @@ final class FrameReader(file: String, conf: org.apache.hadoop.conf.Configuration
               zKind(c) = k
               zLongMin(c) = i64(s"column $c zone min")
               zLongMax(c) = i64(s"column $c zone max")
+            case k @ (4 | 5) =>
+              // v6 sum-carrying numeric zone: presents to predicates as the
+              // plain long/double kind, the sum rides alongside
+              zKind(c) = k - 3
+              zLongMin(c) = i64(s"column $c zone min")
+              zLongMax(c) = i64(s"column $c zone max")
+              zSumBits(c) = i64(s"column $c zone sum")
+              zHasSum(c) = true
             case 3 =>
               zKind(c) = 3
               val mn = new Array[Byte](u8(s"column $c zone min length"))

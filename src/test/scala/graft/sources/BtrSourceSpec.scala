@@ -424,6 +424,68 @@ class BtrSourceSpec extends AnyFunSuite {
     assert(r3.getDouble(1).isNaN, s"NaN is the Spark max: ${r3.getDouble(1)}")
   }
 
+  test("SUM pushdown folds v6 header sums; filtered, NaN, null and pre-v6 fallbacks") {
+    import spark.implicits._
+    val dir = tmp("aggsum")
+    // doubles are multiples of 0.5 with small magnitude: every partial sum
+    // is exactly representable, so pushed and unpushed sums are bit-equal
+    // regardless of association
+    val df = (0 until 8192).map(i => (i, i * 0.5, s"s$i")).toDF("id", "d", "s")
+    BlockFiles.write(df, dir, BtrConfig(blockSize = 256), rangeCols = Seq("id"))
+
+    val q = spark.read.format("btr").load(dir)
+      .agg(sum("id").as("si"), sum("d").as("sd"), count(lit(1)).as("n"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BtrAggScan") && plan.contains("sum(id)"),
+      s"sum must use the headers-only scan:\n$plan")
+    val r = q.head()
+    assert(r.getLong(0) == (0 until 8192).map(_.toLong).sum)
+    assert(r.getDouble(1) == (0 until 8192).map(_ * 0.5).sum)
+    assert(r.getLong(2) == 8192)
+
+    // filtered: fully-covered chunks fold from header sums, boundary chunks
+    // decode — same three-way split as filtered COUNT/MIN/MAX
+    val qf = spark.read.format("btr").load(dir)
+      .where(col("id").between(1000, 4999)).agg(sum("id").as("si"))
+    val fplan = qf.queryExecution.executedPlan.toString
+    assert(fplan.contains("BtrAggScan"), s"filtered sum must push:\n$fplan")
+    assert(qf.head().getLong(0) == (1000 to 4999).map(_.toLong).sum)
+
+    // NaN chunk: its double zone (and sum) is dropped → decode fallback;
+    // NaN propagates exactly like Spark's own sum
+    val dirN = tmp("aggsum_nan")
+    val nan = ((0 until 1000).map(i => (i, i * 0.5)) :+ ((1000, Double.NaN))).toDF("id", "d")
+    BlockFiles.write(nan, dirN, BtrConfig(blockSize = 128))
+    assert(spark.read.format("btr").load(dirN).agg(sum("d")).head().getDouble(0).isNaN)
+
+    // nulls are ignored; an all-null column sums to SQL NULL
+    val dirU = tmp("aggsum_null")
+    val nl = (0 until 2000)
+      .map(i => (i, if (i % 3 == 0) None else Some(i), Option.empty[Double]))
+      .toDF("id", "v", "dn")
+    BlockFiles.write(nl, dirU, BtrConfig(blockSize = 256))
+    val ru = spark.read.format("btr").load(dirU).agg(sum("v"), sum("dn")).head()
+    assert(ru.getLong(0) == (0 until 2000).filter(_ % 3 != 0).map(_.toLong).sum)
+    assert(ru.isNullAt(1), "sum of an all-null column is NULL")
+
+    // pre-v6 frames (sum-less kind-1 zones): the reader decodes the column
+    // instead — strip the sum from a part so zonePayload emits the legacy
+    // kind, then drive BtrAggReader directly against the written file
+    val dirV = tmp("aggsum_legacy")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val vals = Array.tabulate(500)(identity)
+    val part = graft.engine.ChunkEncoder.encodeInt(
+      0, 0, 0L, 0, "v", vals, 500, BtrConfig.default)
+    assert(part.sumLong.contains(vals.map(_.toLong).sum), "encoder must carry the chunk sum")
+    val legacy = BlockFiles.frameChunk(Seq(part.copy(sumLong = None)))
+    BlockFiles.writeFrames(conf, s"$dirV/blocks", 0, 0L, Iterator(legacy))
+    val rd = new BtrAggReader(s"$dirV/blocks/part-00000", conf,
+      Seq(SumSpec(0, isDouble = false), CountSpec))
+    assert(rd.next())
+    assert(rd.get().getLong(0) == vals.map(_.toLong).sum)
+    assert(rd.get().getLong(1) == 500)
+  }
+
   test("chunksSkipped surfaces as a DSv2 custom metric") {
     import spark.implicits._
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
