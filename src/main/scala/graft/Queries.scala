@@ -483,6 +483,52 @@ object Queries {
         max(col("doc_id")).as("max_doc"))
   }
 
+  /** GROUP BY aggregate pushdown (round-5): the whole
+    * `GROUP BY source → count/min/max/sum` folds inside the scan — the
+    * grouped reader emits per-group partials and, on this source-clustered
+    * table, answers group-constant chunks from frame headers alone (zero
+    * blob decode); Spark's final HashAggregate merges partials across
+    * files. `SELECT day, count(*), sum(bytes) GROUP BY day` on a
+    * day-partitioned 100 TB table is THE operational rollup — header-fold
+    * makes it metadata-speed. n_chars_d holds integral values, so its
+    * double sum is exact and association-independent. Oracle = the same
+    * grouped aggregates in DuckDB.
+    */
+  private def qAggGroup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(
+      col("doc_id").cast("int").as("doc_id"), col("source"),
+      col("n_chars").cast("double").as("n_chars_d"))
+    val out = cachedBtr(s, s"q_prune_typed_${math.abs(dir.hashCode)}", docs)(
+      graft.engine.BlockFiles.write(docs, _, BtrConfig.default, rangeCols = Seq("source", "doc_id")))
+    s.read.format("btr").load(out)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        sum(col("n_chars_d")).as("sum_chars"))
+  }
+
+  /** Pushed TopN (round-5, `SupportsPushDownTopN`): `ORDER BY doc_id DESC
+    * LIMIT 15` under a claimed filter reaches the scan — each partition
+    * keeps a bounded best-n heap and, once full, uses the sort key's chunk
+    * zones as a MOVING threshold, skipping whole chunks that cannot beat
+    * the kept set (on this doc_id-clustered table a top-k probe reads a
+    * handful of chunks, the 100 TB "latest records" shape). Spark's
+    * TakeOrderedAndProject merges partitions. doc_id is unique, so the
+    * selected row set is deterministic. Oracle = the same ORDER BY/LIMIT.
+    */
+  private def qTopnPush(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(
+      col("doc_id").cast("int").as("doc_id"), col("lang"), col("source"))
+    val out = cachedBtr(s, s"q_prune_src_${math.abs(dir.hashCode)}", docs)(
+      graft.engine.BlockFiles.write(docs, _, BtrConfig.default, rangeCols = Seq("doc_id")))
+    s.read.format("btr").load(out)
+      .where(col("lang") =!= "de")
+      .orderBy(col("doc_id").desc)
+      .limit(15)
+  }
+
   /** Runtime join filtering through the DSv2 source: the btr fact table is
     * broadcast-joined to a selectively filtered parquet dim — the DPP shape
     * where Spark hands the build keys to the scan (SupportsRuntimeV2
@@ -792,6 +838,8 @@ object Queries {
     "q_agg_count" -> (qAggCount _),
     "q_agg_sum" -> (qAggSum _),
     "stream_btr_read" -> (streamBtrRead _),
+    "q_topn_push" -> (qTopnPush _),
+    "q_agg_group" -> (qAggGroup _),
     "q_join_runtime" -> (qJoinRuntime _),
     "rt_csv" -> (rtCsv _),
     "rt_nulls" -> (rtNulls _),
@@ -883,6 +931,13 @@ object Queries {
     "q_prune_or" ->
       ("SELECT CAST(doc_id AS INTEGER) AS doc_id, lang, source FROM documents " +
         "WHERE (doc_id < 50 OR doc_id >= 450) AND NOT (lang = 'de')"),
+    "q_topn_push" ->
+      ("SELECT CAST(doc_id AS INTEGER) AS doc_id, lang, source FROM documents " +
+        "WHERE NOT (lang = 'de') ORDER BY doc_id DESC LIMIT 15"),
+    "q_agg_group" ->
+      ("SELECT source, COUNT(*) AS n_rows, CAST(MIN(doc_id) AS INTEGER) AS min_doc, " +
+        "CAST(MAX(doc_id) AS INTEGER) AS max_doc, SUM(CAST(n_chars AS DOUBLE)) AS sum_chars " +
+        "FROM documents GROUP BY source"),
     "q_agg_count" ->
       // the CASE bodies mirror the nullDocs projection exactly (not a bare
       // 1) so the oracle stays correct even if source rows ever carry NULLs

@@ -310,11 +310,13 @@ class BtrScanBuilder(dir: String, fullSchema: StructType)
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
     with SupportsPushDownLimit
+    with SupportsPushDownTopN
     with SupportsPushDownAggregates {
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var pushedZones: Array[ZonePred] = Array.empty
   private var limit: Int = -1
+  private var topN: Option[TopNSpec] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // preserve file column order for the positional frame decode
@@ -476,6 +478,44 @@ class BtrScanBuilder(dir: String, fullSchema: StructType)
     */
   override def pushLimit(l: Int): Boolean = { limit = l; false }
 
+  /** Partial TopN pushdown (`ORDER BY … LIMIT n`): each partition keeps
+    * only its local best `n` rows — and, the scale point, uses the sort
+    * key's zones as a MOVING threshold to skip chunks that cannot beat the
+    * kept set (BtrTopNReader). Spark's TakeOrderedAndProject stays on top
+    * (isPartiallyPushed), merging partitions. Accepted for sort keys that
+    * are plain columns of the table's three types; anything else (computed
+    * keys, n beyond MaxN) is refused and the plain scan + Spark sort runs.
+    */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder], n: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, NullOrdering}
+    if (n <= 0 || n > BtrTopN.MaxN || orders.isEmpty) return false
+    val keys: Seq[Option[SortKeySpec]] = orders.toSeq.map { so =>
+      so.expression() match {
+        case nr: NamedReference if nr.fieldNames.length == 1 =>
+          val i = fullSchema.fieldNames.indexOf(nr.fieldNames()(0))
+          if (i < 0) None
+          else {
+            val kind = fullSchema.fields(i).dataType match {
+              case IntegerType => 1
+              case DoubleType  => 2
+              case StringType  => 3
+              case _           => 0
+            }
+            if (kind == 0) None
+            else Some(SortKeySpec(i, kind,
+              desc = so.direction() == SortDirection.DESCENDING,
+              nullsFirst = so.nullOrdering() == NullOrdering.NULLS_FIRST))
+          }
+        case _ => None
+      }
+    }
+    if (keys.forall(_.isDefined)) { topN = Some(TopNSpec(keys.flatten, n)); true }
+    else false
+  }
+
+  override def isPartiallyPushed(): Boolean = true
+
   /** COUNT(*)/MIN/MAX pushdown: row counts live in the chunk frame headers
     * and zone maps are EXACT chunk extrema (ChunkEncoder), so an unfiltered
     * count/min/max never has to decode a column blob — the reader answers
@@ -506,8 +546,18 @@ class BtrScanBuilder(dir: String, fullSchema: StructType)
     // Spark offers aggregates only when no post-scan filters remain, i.e.
     // every pushed filter was exact-claimed — those are enforced by the
     // agg reader itself
-    if (agg.groupByExpressions.nonEmpty || limit >= 0 ||
-      agg.aggregateExpressions.isEmpty) return false
+    if (limit >= 0 || topN.isDefined || agg.aggregateExpressions.isEmpty) return false
+    // GROUP BY pushdown (round-5): accepted when every grouping key is a
+    // plain column of the table's three types — the grouped reader emits
+    // per-group partials (Spark's final HashAggregate merges), folding
+    // group-constant chunks from headers alone on group-clustered tables
+    val groupCols: Seq[Option[Int]] = agg.groupByExpressions.toSeq.map(colRef(_).filter { i =>
+      fullSchema.fields(i).dataType match {
+        case IntegerType | DoubleType | StringType => true
+        case _ => false
+      }
+    })
+    if (!groupCols.forall(_.isDefined)) return false
     val specs: Seq[Option[AggSpec]] = agg.aggregateExpressions.toSeq.map {
       case _: CountStar => Some(CountSpec)
       case c: Count if !c.isDistinct => colRef(c.column).map(CountColSpec)
@@ -526,19 +576,25 @@ class BtrScanBuilder(dir: String, fullSchema: StructType)
         }
       case _ => None
     }
-    if (specs.forall(_.isDefined)) { aggSpecs = specs.flatten; true } else false
+    if (specs.forall(_.isDefined)) {
+      aggSpecs = specs.flatten
+      aggGroupIdx = groupCols.flatten.toArray
+      true
+    } else false
   }
 
   private var aggSpecs: Seq[AggSpec] = Nil
+  private var aggGroupIdx: Array[Int] = Array.empty
 
   override def build(): Scan =
     if (aggSpecs.nonEmpty)
-      new BtrAggScan(dir, fullSchema, aggSpecs, pushedZones, exact)
-    else new BtrScan(dir, fullSchema, required, pushedZones, limit, exact)
+      new BtrAggScan(dir, fullSchema, aggSpecs, pushedZones, exact, aggGroupIdx)
+    else new BtrScan(dir, fullSchema, required, pushedZones, limit, exact, topN)
 }
 
-/** One pushed aggregate over the whole table (no grouping/limit; exact-
-  * claimed filters allowed).
+/** One pushed aggregate — over the whole table, or per group when the
+  * Aggregation carries GROUP BY columns (no limit; exact-claimed filters
+  * allowed).
   */
 sealed trait AggSpec extends Serializable
 case object CountSpec extends AggSpec
@@ -596,7 +652,8 @@ class BtrScan(
     required: StructType,
     zones: Array[ZonePred],
     limit: Int = -1,
-    exact: Array[ExactPred] = Array.empty)
+    exact: Array[ExactPred] = Array.empty,
+    topN: Option[TopNSpec] = None)
   extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = required
@@ -608,6 +665,8 @@ class BtrScan(
          s", files=${plannedFiles.length}/${allFiles.length}") +
       (if (exact.isEmpty) ""
        else s", exactFilters=${exact.map(p => s"${p.cols.map(fullSchema.fieldNames).mkString("&")}:$p").mkString(";")}") +
+      topN.fold("")(t => s", orderedLimit=${t.keys.map(k =>
+        fullSchema.fieldNames(k.colIdx) + (if (k.desc) " DESC" else " ASC")).mkString(",")} n=${t.n}") +
       (if (limit >= 0) s", limit=$limit)" else ")")
 
   /** Runtime (join-driven) filtering — the dynamic-partition-pruning analog
@@ -724,7 +783,7 @@ class BtrScan(
     val spark = SparkSession.active
     val confB = ConfShim.broadcast(spark.sparkContext)
     val colIdx = required.fieldNames.map(n => fullSchema.fieldIndex(n))
-    val f = BtrReaderFactory(confB, colIdx, zones, limit, exact)
+    val f = BtrReaderFactory(confB, colIdx, zones, limit, exact, topN)
     f.extraZones = runtimeZones
     factoryRef = f
     f
@@ -900,9 +959,12 @@ object RuntimePredTranslator {
   * before any task launches, exactly like the row scan.
   */
 class BtrAggScan(dir: String, fullSchema: StructType, specs: Seq[AggSpec],
-    zones: Array[ZonePred] = Array.empty, exact: Array[ExactPred] = Array.empty)
+    zones: Array[ZonePred] = Array.empty, exact: Array[ExactPred] = Array.empty,
+    groupIdx: Array[Int] = Array.empty)
   extends Scan with Batch {
-  private val outSchema = StructType(specs.map {
+  // partial-pushdown contract: group columns first (in GROUP BY order),
+  // then one partial per aggregate — Spark maps the output positionally
+  private val outSchema = StructType(groupIdx.toSeq.map(fullSchema.fields(_)) ++ specs.map {
     case CountSpec => StructField("count", org.apache.spark.sql.types.LongType, nullable = false)
     case CountColSpec(c) =>
       StructField(s"count(${fullSchema.fields(c).name})",
@@ -927,6 +989,8 @@ class BtrAggScan(dir: String, fullSchema: StructType, specs: Seq[AggSpec],
       case SumSpec(c, _) => s"sum(${fullSchema.fieldNames(c)})"
     }.mkString(",")
     s"BtrAggScan(dir=$dir, aggs=[$what]" +
+      (if (groupIdx.isEmpty) ""
+       else s", group=[${groupIdx.map(fullSchema.fieldNames).mkString(",")}]") +
       (if (exact.isEmpty) ""
        else s", exactFilters=${exact.map(p => s"${p.cols.map(fullSchema.fieldNames).mkString("&")}:$p").mkString(";")}" +
          s", files=${plannedFiles.length}/${allFiles.length}") +
@@ -956,7 +1020,7 @@ class BtrAggScan(dir: String, fullSchema: StructType, specs: Seq[AggSpec],
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val confB = ConfShim.broadcast(SparkSession.active.sparkContext)
-    BtrAggReaderFactory(confB, specs, zones, exact)
+    BtrAggReaderFactory(confB, specs, zones, exact, groupIdx)
   }
 }
 
@@ -964,10 +1028,14 @@ case class BtrAggReaderFactory(
     confB: org.apache.spark.broadcast.Broadcast[ConfShim.SerConf],
     specs: Seq[AggSpec],
     zones: Array[ZonePred] = Array.empty,
-    exact: Array[ExactPred] = Array.empty)
+    exact: Array[ExactPred] = Array.empty,
+    groupIdx: Array[Int] = Array.empty)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new BtrAggReader(partition.asInstanceOf[BtrInputPartition].file, ConfShim.conf(confB),
+    if (groupIdx.nonEmpty)
+      new BtrGroupAggReader(partition.asInstanceOf[BtrInputPartition].file, ConfShim.conf(confB),
+        groupIdx, specs.toArray, zones, exact)
+    else new BtrAggReader(partition.asInstanceOf[BtrInputPartition].file, ConfShim.conf(confB),
       specs, zones, exact)
 }
 
@@ -1018,10 +1086,10 @@ class BtrAggReader(file: String, conf: org.apache.hadoop.conf.Configuration, spe
             specArr(s) match {
               case MinMaxSpec(c, isMin) if c < fr.nCols =>
                 fr.zKind(c) match {
-                  case 1 => foldLong(acc, s, if (isMin) fr.zLongMin(c) else fr.zLongMax(c), isMin)
-                  case 2 => foldDouble(acc, s,
+                  case 1 => AggFolds.foldLong(acc, s, if (isMin) fr.zLongMin(c) else fr.zLongMax(c), isMin)
+                  case 2 => AggFolds.foldDouble(acc, s,
                     java.lang.Double.longBitsToDouble(if (isMin) fr.zLongMin(c) else fr.zLongMax(c)), isMin)
-                  case 3 => foldBytes(acc, s, if (isMin) fr.zStrMin(c) else fr.zStrMax(c), isMin)
+                  case 3 => AggFolds.foldBytes(acc, s, if (isMin) fr.zStrMin(c) else fr.zStrMax(c), isMin)
                   case _ => () // no zone: decoded below
                 }
               case CountColSpec(c) if c < fr.nCols =>
@@ -1054,9 +1122,9 @@ class BtrAggReader(file: String, conf: org.apache.hadoop.conf.Configuration, spe
             if (c != lastCol) { blob = fr.readBlob(c); lastCol = c }
             specArr(s) match {
               case MinMaxSpec(_, isMin) =>
-                foldDecoded(acc, s, fr.colType(c), blob, isMin, fr.nullBits(c))
+                AggFolds.foldDecoded(fr.where, acc, s, fr.colType(c), blob, isMin, fr.nullBits(c))
               case _: SumSpec =>
-                sumDecoded(sumL, sumD, sumSeen, s, fr.colType(c), blob, fr.nullBits(c))
+                AggFolds.sumDecoded(fr.where, sumL, sumD, sumSeen, s, fr.colType(c), blob, fr.nullBits(c))
               case _ => ()
             }
           }
@@ -1106,9 +1174,9 @@ class BtrAggReader(file: String, conf: org.apache.hadoop.conf.Configuration, spe
                 specArr(s) match {
                   case MinMaxSpec(c, isMin) if c < fr.nCols && !nullAt(c, i) =>
                     byCol(c) match {
-                      case a: Array[Int]     => foldLong(acc, s, a(i), isMin)
-                      case a: Array[Double]  => foldDouble(acc, s, a(i), isMin)
-                      case d: DecodedStrings => foldBytes(acc, s, d.copy(i), isMin)
+                      case a: Array[Int]     => AggFolds.foldLong(acc, s, a(i), isMin)
+                      case a: Array[Double]  => AggFolds.foldDouble(acc, s, a(i), isMin)
+                      case d: DecodedStrings => AggFolds.foldBytes(acc, s, d.copy(i), isMin)
                     }
                   case CountColSpec(c) if c < fr.nCols && !nullAt(c, i) =>
                     // validity bitmap is header-resident: still no decode
@@ -1157,71 +1225,6 @@ class BtrAggReader(file: String, conf: org.apache.hadoop.conf.Configuration, spe
     case CountSpec        => -1
   }
 
-  /** Decode-fallback SUM fold for chunks without a header sum (pre-v6
-    * files, NaN chunks): sums the column's live (non-null) values.
-    */
-  private def sumDecoded(sumL: Array[Long], sumD: Array[Double], seen: Array[Boolean],
-      s: Int, colType: Int, blob: Array[Byte], nullBits: Array[Byte]): Unit = {
-    @inline def live(i: Int): Boolean =
-      nullBits == null || ((nullBits(i >> 3) >> (i & 7)) & 1) == 0
-    colType match {
-      case t if t == ColType.Integer.toInt =>
-        val a = IntCodec.decode(blob)
-        var i = 0
-        while (i < a.length) { if (live(i)) { sumL(s) += a(i); seen(s) = true }; i += 1 }
-      case t if t == ColType.Double.toInt =>
-        val a = DoubleCodec.decode(blob)
-        var i = 0
-        while (i < a.length) { if (live(i)) { sumD(s) += a(i); seen(s) = true }; i += 1 }
-      case t => throw new java.io.IOException(
-        s"corrupt btr block file $file: column type $t under SUM pushdown")
-    }
-  }
-
-  private def foldLong(acc: Array[AnyRef], s: Int, v: Long, isMin: Boolean): Unit = {
-    // int columns: zone longs always fit the column's Int values
-    val cur = acc(s).asInstanceOf[java.lang.Integer]
-    val vi = v.toInt
-    if (cur == null || (if (isMin) vi < cur else vi > cur)) acc(s) = Int.box(vi)
-  }
-
-  private def foldDouble(acc: Array[AnyRef], s: Int, v: Double, isMin: Boolean): Unit = {
-    val cur = acc(s).asInstanceOf[java.lang.Double]
-    val c = if (cur == null) 0 else java.lang.Double.compare(v, cur)
-    if (cur == null || (if (isMin) c < 0 else c > 0)) acc(s) = Double.box(v)
-  }
-
-  private def foldBytes(acc: Array[AnyRef], s: Int, v: Array[Byte], isMin: Boolean): Unit = {
-    val cur = acc(s).asInstanceOf[Array[Byte]]
-    val c = if (cur == null) 0 else java.util.Arrays.compareUnsigned(v, cur)
-    if (cur == null || (if (isMin) c < 0 else c > 0)) acc(s) = v
-  }
-
-  private def foldDecoded(acc: Array[AnyRef], s: Int, colType: Int, blob: Array[Byte],
-      isMin: Boolean, nullBits: Array[Byte]): Unit = {
-    @inline def live(i: Int): Boolean =
-      nullBits == null || ((nullBits(i >> 3) >> (i & 7)) & 1) == 0
-    colType match {
-      case t if t == ColType.Integer.toInt =>
-        val a = IntCodec.decode(blob)
-        var i = 0
-        while (i < a.length) { if (live(i)) foldLong(acc, s, a(i), isMin); i += 1 }
-      case t if t == ColType.Double.toInt =>
-        val a = DoubleCodec.decode(blob)
-        var i = 0
-        while (i < a.length) { if (live(i)) foldDouble(acc, s, a(i), isMin); i += 1 }
-      case t if t == ColType.String.toInt =>
-        val d = StringCodec.decodeSlices(new BufReader(blob))
-        var i = 0
-        while (i < d.count) { if (live(i)) foldBytes(acc, s, d.copy(i), isMin); i += 1 }
-      case t =>
-        // pre-CRC (v1-v3) files have no header checksum to catch a flipped
-        // type byte — name the block instead of a bare MatchError
-        throw new java.io.IOException(
-          s"corrupt btr block file $file: unknown column type $t in aggregate fallback")
-    }
-  }
-
   override def get(): InternalRow = row
 
   override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
@@ -1238,7 +1241,8 @@ case class BtrReaderFactory(
     requiredIdx: Array[Int],
     zones: Array[ZonePred],
     limit: Int = -1,
-    exact: Array[ExactPred] = Array.empty)
+    exact: Array[ExactPred] = Array.empty,
+    topN: Option[TopNSpec] = None)
   extends PartitionReaderFactory {
 
   /** Runtime (join-driven) zone predicates, late-bound by BtrScan.filter():
@@ -1250,9 +1254,16 @@ case class BtrReaderFactory(
   private def allZones: Array[ZonePred] = zones ++ extraZones
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new BtrPartitionReader(
-      partition.asInstanceOf[BtrInputPartition].file, ConfShim.conf(confB),
-      requiredIdx, allZones, limit, exact)
+    topN match {
+      case Some(t) =>
+        new BtrTopNReader(
+          partition.asInstanceOf[BtrInputPartition].file, ConfShim.conf(confB),
+          requiredIdx, allZones, exact, t)
+      case None =>
+        new BtrPartitionReader(
+          partition.asInstanceOf[BtrInputPartition].file, ConfShim.conf(confB),
+          requiredIdx, allZones, limit, exact)
+    }
 
   /** Decoded chunks are columnar arrays already — hand them to Spark as
     * ColumnarBatches (vectorized operators, zero per-value boxing). With
@@ -1260,7 +1271,8 @@ case class BtrReaderFactory(
     * all-match chunks stay zero-copy, mixed chunks compact the matching
     * rows into fresh vectors.
     */
-  override def supportColumnarReads(partition: InputPartition): Boolean = true
+  // a pushed TopN keeps a bounded row heap — row-based by nature
+  override def supportColumnarReads(partition: InputPartition): Boolean = topN.isEmpty
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
     new BtrColumnarReader(
@@ -1288,6 +1300,14 @@ final class ChunkCursor(
     */
   var chunksSkipped: Long = 0L
   var chunksTotal: Long = 0L
+
+  /** Optional DYNAMIC skip predicate consulted per chunk alongside the
+    * static zones — the pushed-TopN reader points this at its running
+    * threshold ("can this chunk's zone beat the worst kept row?"), which
+    * tightens as better rows arrive; dynamic skips count in
+    * `chunksSkipped` like static ones.
+    */
+  var dynSkip: ZoneCtx => Boolean = null
 
   /** Decoded required columns of the current chunk (Array[Int] /
     * Array[Double] / DecodedStrings per slot) and its row count.
@@ -1361,7 +1381,8 @@ final class ChunkCursor(
       chunkRows = fr.numRows
       // single shared dispatch (ZonePred.rejectsCtx) with the file-level
       // path; compounds compose across columns through the ctx
-      val skipChunk = zones.exists(_.rejectsCtx(fr.zoneCtx))
+      val skipChunk = zones.exists(_.rejectsCtx(fr.zoneCtx)) ||
+        (dynSkip != null && dynSkip(fr.zoneCtx))
       if (skipChunk) {
         fr.finishChunk()
         chunksSkipped += 1
