@@ -509,6 +509,22 @@ object Queries {
         sum(col("n_chars_d")).as("sum_chars"))
   }
 
+  /** DISTINCT pushdown (round-5): `SELECT DISTINCT source` reaches the
+    * scan as an empty-aggregate grouping — the grouped reader emits each
+    * group once per flush and, on this source-clustered table, answers
+    * group-constant chunks from their zone headers WITHOUT decoding a
+    * blob. "What partitions/languages/sources exist" over 100 TB becomes
+    * a metadata read. Oracle = the same DISTINCT in DuckDB.
+    */
+  private def qDistinctPush(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(
+      col("doc_id").cast("int").as("doc_id"), col("source"),
+      col("n_chars").cast("double").as("n_chars_d"))
+    val out = cachedBtr(s, s"q_prune_typed_${math.abs(dir.hashCode)}", docs)(
+      graft.engine.BlockFiles.write(docs, _, BtrConfig.default, rangeCols = Seq("source", "doc_id")))
+    s.read.format("btr").load(out).select("source").distinct()
+  }
+
   /** Pushed TopN (round-5, `SupportsPushDownTopN`): `ORDER BY doc_id DESC
     * LIMIT 15` under a claimed filter reaches the scan — each partition
     * keeps a bounded best-n heap and, once full, uses the sort key's chunk
@@ -840,6 +856,7 @@ object Queries {
     "stream_btr_read" -> (streamBtrRead _),
     "q_topn_push" -> (qTopnPush _),
     "q_agg_group" -> (qAggGroup _),
+    "q_distinct_push" -> (qDistinctPush _),
     "q_join_runtime" -> (qJoinRuntime _),
     "rt_csv" -> (rtCsv _),
     "rt_nulls" -> (rtNulls _),
@@ -938,6 +955,7 @@ object Queries {
       ("SELECT source, COUNT(*) AS n_rows, CAST(MIN(doc_id) AS INTEGER) AS min_doc, " +
         "CAST(MAX(doc_id) AS INTEGER) AS max_doc, SUM(CAST(n_chars AS DOUBLE)) AS sum_chars " +
         "FROM documents GROUP BY source"),
+    "q_distinct_push" -> "SELECT DISTINCT source FROM documents",
     "q_agg_count" ->
       // the CASE bodies mirror the nullDocs projection exactly (not a bare
       // 1) so the oracle stays correct even if source rows ever carry NULLs

@@ -546,11 +546,14 @@ class BtrScanBuilder(dir: String, fullSchema: StructType)
     // Spark offers aggregates only when no post-scan filters remain, i.e.
     // every pushed filter was exact-claimed — those are enforced by the
     // agg reader itself
-    if (limit >= 0 || topN.isDefined || agg.aggregateExpressions.isEmpty) return false
+    if (limit >= 0 || topN.isDefined) return false
     // GROUP BY pushdown (round-5): accepted when every grouping key is a
     // plain column of the table's three types — the grouped reader emits
     // per-group partials (Spark's final HashAggregate merges), folding
-    // group-constant chunks from headers alone on group-clustered tables
+    // group-constant chunks from headers alone on group-clustered tables.
+    // An empty aggregate list with grouping keys is SELECT DISTINCT: the
+    // reader emits each group once (header-only on clustered tables).
+    if (agg.aggregateExpressions.isEmpty && agg.groupByExpressions.isEmpty) return false
     val groupCols: Seq[Option[Int]] = agg.groupByExpressions.toSeq.map(colRef(_).filter { i =>
       fullSchema.fields(i).dataType match {
         case IntegerType | DoubleType | StringType => true
@@ -579,15 +582,17 @@ class BtrScanBuilder(dir: String, fullSchema: StructType)
     if (specs.forall(_.isDefined)) {
       aggSpecs = specs.flatten
       aggGroupIdx = groupCols.flatten.toArray
+      aggPushed = true
       true
     } else false
   }
 
   private var aggSpecs: Seq[AggSpec] = Nil
   private var aggGroupIdx: Array[Int] = Array.empty
+  private var aggPushed = false
 
   override def build(): Scan =
-    if (aggSpecs.nonEmpty)
+    if (aggPushed)
       new BtrAggScan(dir, fullSchema, aggSpecs, pushedZones, exact, aggGroupIdx)
     else new BtrScan(dir, fullSchema, required, pushedZones, limit, exact, topN)
 }

@@ -165,6 +165,15 @@ class GroupAggPushdownSpec extends AnyFunSuite {
       base.groupBy("k").agg(sum(col("v")).as("sv")))
   }
 
+  test("SELECT DISTINCT pushes as an empty-aggregate grouped scan") {
+    val got = btr.select("s").distinct()
+    same("distinct", got, df.select("s").distinct())
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("group=[s]"), s"distinct did not push:\n$plan")
+    val got2 = btr.select("g", "s").distinct()
+    same("distinct-multi", got2, df.select("g", "s").distinct())
+  }
+
   test("avg is not pushed but stays correct") {
     val got = btr.groupBy("g").agg(avg(col("v")).as("a"), count(lit(1)).as("n"))
     val want = df.groupBy("g").agg(avg(col("v")).as("a"), count(lit(1)).as("n"))
