@@ -826,6 +826,43 @@ object Queries {
     s.table(qname)
   }
 
+  /** Native streaming SINK loop (round-5): a parquet file stream (forced
+    * to multiple micro-batches) lands through `writeStream.format("btr")`
+    * — each epoch an atomic-manifest `batch=<id>` sub-table with range
+    * clustering planned by Spark — and streams back out through the btr
+    * SOURCE into a memory sink. The complete compressed streaming loop
+    * (firehose → btr epochs → standing query) with no foreachBatch glue;
+    * at 100 TB rates the sink is exactly-once under replay (manifest-
+    * gated epochs, rename-if-absent task files). Oracle = identity: every
+    * row exactly once.
+    */
+  private def streamBtrSink(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val docs = t(s, dir, "documents").select(
+      col("doc_id").cast("int").as("doc_id"), col("lang"),
+      col("n_chars").cast("int").as("n_chars"))
+    val base = scratch(s, s"stream_btr_sink_${math.abs(dir.hashCode)}")
+    val fs = new Path(base).getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(base), true) // fresh source files, sink epochs, offsets
+    docs.repartition(2).write.parquet(s"$base/src")
+    val sink = s"$base/btr"
+    val wq = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1") // force >= 2 epochs through the sink
+      .parquet(s"$base/src")
+      .writeStream.format("btr")
+      .option("checkpointLocation", s"$base/wckpt")
+      .option("rangeCols", "doc_id")
+      .start(sink)
+    try wq.processAllAvailable() finally wq.stop()
+    val qname = s"btr_stream_sink_${math.abs(dir.hashCode)}"
+    val rq = s.readStream.format("btr").load(sink)
+      .writeStream.outputMode("append").format("memory").queryName(qname)
+      .option("checkpointLocation", s"$base/rckpt")
+      .start()
+    try rq.processAllAvailable() finally rq.stop()
+    s.table(qname)
+  }
+
   // ----------------------------------------------------------------- expose
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -854,6 +891,7 @@ object Queries {
     "q_agg_count" -> (qAggCount _),
     "q_agg_sum" -> (qAggSum _),
     "stream_btr_read" -> (streamBtrRead _),
+    "stream_btr_sink" -> (streamBtrSink _),
     "q_topn_push" -> (qTopnPush _),
     "q_agg_group" -> (qAggGroup _),
     "q_distinct_push" -> (qDistinctPush _),
@@ -972,6 +1010,9 @@ object Queries {
         "SUM(CASE WHEN doc_id % 5 = 0 THEN NULL ELSE CAST(n_chars AS DOUBLE) * 0.5 END) AS sum_score, " +
         "COUNT(*) AS n_rows FROM documents WHERE doc_id < 400"),
     "stream_btr_read" ->
+      ("SELECT CAST(doc_id AS INTEGER) AS doc_id, lang, " +
+        "CAST(n_chars AS INTEGER) AS n_chars FROM documents"),
+    "stream_btr_sink" ->
       ("SELECT CAST(doc_id AS INTEGER) AS doc_id, lang, " +
         "CAST(n_chars AS INTEGER) AS n_chars FROM documents"),
     "q_join_runtime" ->

@@ -130,6 +130,18 @@ class BtrWrite(
 
   override def toBatch: BatchWrite = this
 
+  /** `df.writeStream.format("btr")` — the native sink twin of the btr
+    * streaming SOURCE: each epoch lands as a `batch=<epochId>/` sub-table
+    * in the manifest-gated ingest layout the source reads, published by an
+    * atomic per-epoch manifest. Append mode only (an epoch is immutable
+    * history; complete-mode truncation contradicts the layout).
+    */
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    require(!truncate,
+      "btr streaming sink supports append output mode only (each epoch is an immutable batch=<id> sub-table)")
+    new BtrStreamingWrite(dir, outSchema, outColTypes, cfg, keptIdx)
+  }
+
   /** Overwrite stages its block files in `.staging-blocks` and swaps them
     * in only at commit — the OLD table stays fully readable for the whole
     * write, and a failed overwrite JOB leaves it untouched (round-3 advice:
@@ -218,6 +230,98 @@ class BtrWrite(
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
   }
+}
+
+/** Micro-batch streaming sink: epoch N writes its block files under
+  * `dir/batch=N/blocks` with the same attempt-unique temp name +
+  * rename-if-absent task commit as the batch path, and the driver
+  * publishes the epoch's manifest (stats + file-level zone index first)
+  * only in `commit(epochId)` — a crashed epoch leaves no manifest, so the
+  * btr streaming source's contiguity guard keeps it (and every later
+  * batch) invisible until the retry lands.
+  *
+  * EXACTLY-ONCE on at-least-once replay: a replayed epoch whose manifest
+  * already exists is a no-op at commit, and its re-run task writers lose
+  * the rename-if-absent race to the published files — the first committed
+  * content stays. Epoch ids are Spark's monotone micro-batch ids, exactly
+  * the `batch=0,1,2…` contiguous prefix the source's offsets count.
+  */
+class BtrStreamingWrite(
+    dir: String,
+    schema: StructType, // persisted schema (salt columns removed)
+    colTypes: Array[Int],
+    cfg: BtrConfig,
+    keptIdx: Array[Int])
+  extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  private def epochDir(epochId: Long) = s"$dir/batch=$epochId"
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+    : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    BtrStreamingWriterFactory(
+      ConfShim.broadcast(SparkSession.active.sparkContext), dir, schema, colTypes, cfg, keptIdx)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val conf = spark.sparkContext.hadoopConfiguration
+    val edir = epochDir(epochId)
+    // replayed epoch: the manifest is the publish marker — only
+    // manifest-ABSENT means not-done (a read error must propagate, never
+    // trigger a second publish under a live manifest)
+    val done =
+      try BtrTable.readManifest(spark, edir).columns.nonEmpty
+      catch { case _: java.io.FileNotFoundException => false }
+    if (done) return
+    // an all-empty epoch still publishes (an id gap would stall the
+    // source's contiguous-prefix offset forever) — ensure the blocks dir
+    // exists for listings
+    val blocks = new Path(s"$edir/blocks")
+    blocks.getFileSystem(conf).mkdirs(blocks)
+    val ms = messages.collect { case m: BtrWriteCommit => m }
+    val entries = ms.collect {
+      case m if m.numRows > 0 && m.zones.isDefined => FileZone(f"part-${m.pid}%05d", m.zones.get)
+    }
+    if (entries.nonEmpty) ZoneIndex.write(conf, edir, entries.toSeq)
+    val nparts = ms.count(_.numRows > 0)
+    BtrTable.writeManifest(spark, edir, BtrManifest(
+      columns = schema.fields.zip(colTypes).map { case (f, t) => ColumnMeta(f.name, t, f.nullable) }.toSeq,
+      numPartitions = nparts,
+      blockSize = cfg.blockSize,
+      maxCascadeDepth = cfg.maxCascadeDepth,
+      numRows = ms.map(_.numRows).sum,
+      rawBytes = ms.map(_.rawBytes).sum,
+      encBytes = ms.map(_.encBytes).sum,
+      completedPartitions = Seq(0),
+      bucketStats = Seq(BucketStat(0, ms.map(_.rawBytes).sum, ms.map(_.encBytes).sum,
+        ms.map(_.numRows).sum, nparts))))
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    // drop the failed epoch's blocks ONLY if it was never published (a
+    // replay aborting after the original committed must not delete live
+    // data); task temp files are already cleaned by DataWriter.abort
+    val spark = SparkSession.active
+    val conf = spark.sparkContext.hadoopConfiguration
+    val edir = epochDir(epochId)
+    val fs = new Path(edir).getFileSystem(conf)
+    if (!fs.exists(new Path(edir, BtrTable.ManifestFile))) {
+      val blocks = new Path(s"$edir/blocks")
+      if (fs.exists(blocks)) fs.delete(blocks, true)
+    }
+  }
+}
+
+case class BtrStreamingWriterFactory(
+    confB: org.apache.spark.broadcast.Broadcast[ConfShim.SerConf],
+    dir: String,
+    schema: StructType,
+    colTypes: Array[Int],
+    cfg: BtrConfig,
+    keptIdx: Array[Int])
+  extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new BtrDataWriter(ConfShim.conf(confB), s"$dir/batch=$epochId/blocks",
+      partitionId, taskId, schema, colTypes, cfg, keptIdx)
 }
 
 case class BtrWriteCommit(
