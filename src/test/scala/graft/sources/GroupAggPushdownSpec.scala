@@ -165,6 +165,34 @@ class GroupAggPushdownSpec extends AnyFunSuite {
       base.groupBy("k").agg(sum(col("v")).as("sv")))
   }
 
+  test("randomized shapes: 25 seeded group/agg combinations agree with Spark") {
+    val rnd = new scala.util.Random(0x96a66eed)
+    val groupCols = Array("g", "s", "d")
+    val aggPool: IndexedSeq[org.apache.spark.sql.Column] = IndexedSeq(
+      count(lit(1)).as("n"), count(col("v")).as("nv"),
+      min(col("v")).as("mnv"), max(col("v")).as("mxv"), sum(col("v")).as("sv"),
+      min(col("d")).as("mnd"), max(col("d")).as("mxd"),
+      min(col("s")).as("mns"), max(col("s")).as("mxs"))
+    for (trial <- 0 until 25) {
+      val gs = rnd.shuffle(groupCols.toList).take(1 + rnd.nextInt(3))
+      val aggs = rnd.shuffle(aggPool.indices.toList).take(1 + rnd.nextInt(4)).sorted
+        .map(aggPool(_))
+      val filt: DataFrame => DataFrame =
+        if (rnd.nextBoolean()) identity
+        else {
+          val lo = rnd.nextInt(3000)
+          df => df.where(col("id").between(lo, lo + 900))
+        }
+      val got = filt(btr).groupBy(gs.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      val want = filt(df).groupBy(gs.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+        s"trial $trial diverged (group=$gs aggs=${aggs.length})")
+      assert(got.queryExecution.executedPlan.toString
+        .contains(s"group=[${gs.mkString(",")}]"),
+        s"trial $trial did not push (group=$gs)")
+    }
+  }
+
   test("SELECT DISTINCT pushes as an empty-aggregate grouped scan") {
     val got = btr.select("s").distinct()
     same("distinct", got, df.select("s").distinct())

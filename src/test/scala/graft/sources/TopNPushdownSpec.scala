@@ -80,6 +80,37 @@ class TopNPushdownSpec extends AnyFunSuite {
     check("n-beyond-rows", 5000)(col("id").asc)
   }
 
+  test("randomized orderings: 40 seeded TopN shapes agree with Spark") {
+    // random key subsets x directions x null orderings x n x optional
+    // filter; the trailing unique id key makes the selected SET exact
+    val rnd = new scala.util.Random(0x705e5eed)
+    val keyCols = Array("i", "d", "s")
+    for (trial <- 0 until 40) {
+      val nKeys = 1 + rnd.nextInt(3)
+      val keys = rnd.shuffle(keyCols.toList).take(nKeys).map { c =>
+        (rnd.nextInt(4): @unchecked) match {
+          case 0 => col(c).asc
+          case 1 => col(c).desc
+          case 2 => col(c).asc_nulls_last
+          case 3 => col(c).desc_nulls_first
+        }
+      } :+ (if (rnd.nextBoolean()) col("id").asc else col("id").desc)
+      val n = 1 + rnd.nextInt(60)
+      val filt: DataFrame => DataFrame =
+        if (rnd.nextBoolean()) identity
+        else {
+          val lo = rnd.nextInt(2500)
+          df => df.where(col("id").between(lo, lo + 700))
+        }
+      val got = filt(btr).orderBy(keys: _*).limit(n)
+      val want = filt(df).orderBy(keys: _*).limit(n)
+      assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+        s"trial $trial diverged (keys=$keys n=$n)")
+      assert(got.queryExecution.executedPlan.toString.contains("orderedLimit="),
+        s"trial $trial did not push (keys=$keys n=$n)")
+    }
+  }
+
   test("plan shows the pushed ordered limit") {
     val plan = btr.orderBy(col("id").desc).limit(7)
       .queryExecution.executedPlan.toString
