@@ -1022,7 +1022,16 @@ class BtrAggScan(dir: String, fullSchema: StructType, specs: Seq[AggSpec],
 
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     Array(new ChunksSkippedMetric, new ChunksTotalMetric,
-      new AggChunksHeaderOnlyMetric, new AggChunksDecodedMetric)
+      new AggChunksHeaderOnlyMetric, new AggChunksDecodedMetric,
+      new FilesSkippedMetric, new FilesTotalMetric)
+
+  /** Planning-time file pruning as driver metrics — parity with BtrScan:
+    * a filtered aggregate's "what did pruning save" is the same two-level
+    * ratio (files dropped before launch, chunks skipped/folded inside).
+    */
+  override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(FilesSkippedTaskMetric(allFiles.length - plannedFiles.length),
+      FilesTotalTaskMetric(allFiles.length))
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val confB = ConfShim.broadcast(SparkSession.active.sparkContext)

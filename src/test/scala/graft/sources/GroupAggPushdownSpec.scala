@@ -202,6 +202,33 @@ class GroupAggPushdownSpec extends AnyFunSuite {
     same("distinct-multi", got2, df.select("g", "s").distinct())
   }
 
+  test("filtered aggregate reports the file-pruning ratio as driver metrics") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val dir = tmp("aggmetrics")
+    val base = spark.range(0, 20000, 1, 2)
+      .selectExpr("CAST(id AS INT) AS k", "CAST(id % 9 AS INT) AS v")
+    BlockFiles.write(base, dir, BtrConfig(blockSize = 512), rangeCols = Seq("k"))
+    // AQE hides the scan inside leaf QueryStageExecs; plain plan for the
+    // metric lookup (the metrics themselves are AQE-independent)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val (row, scan) =
+      try {
+        val q = spark.read.format("btr").load(dir)
+          .where(col("k").between(100, 299))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+        (q.collect().head,
+          q.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b })
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(row.getLong(0) == 200)
+    assert(scan.isDefined, "BatchScanExec expected under the pushed aggregate")
+    val m = scan.get.metrics
+    assert(m.contains("filesSkipped") && m.contains("filesTotal"),
+      s"file metrics registered: ${m.keys}")
+    assert(m("filesTotal").value > 0, "planning must report the file total")
+    assert(m("filesSkipped").value > 0,
+      s"selective filter must drop files at planning: ${m("filesSkipped").value}/${m("filesTotal").value}")
+  }
+
   test("avg is not pushed but stays correct") {
     val got = btr.groupBy("g").agg(avg(col("v")).as("a"), count(lit(1)).as("n"))
     val want = df.groupBy("g").agg(avg(col("v")).as("a"), count(lit(1)).as("n"))
