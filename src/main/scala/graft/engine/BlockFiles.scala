@@ -265,12 +265,24 @@ object BlockFiles {
 
   /** Map-side encode + compressed range exchange (see write() doc).
     *
-    * Each chunk travels as ONE frame row keyed by an order-preserving
-    * binary encoding of its first row's `rangeCols` values; the exchange is
-    * repartitionByRange on that key plus a per-chunk round-robin salt (a
-    * hot key's chunks spread over 16 writers instead of serializing one).
-    * The writer task just concatenates the frames it receives — no
-    * re-encode, so the reduce side is pure sequential IO.
+    * Each chunk travels as ONE frame record keyed by an order-preserving
+    * binary encoding of its first row's `rangeCols` values plus a per-chunk
+    * round-robin salt byte (a hot key's chunks spread over 16 writers
+    * instead of serializing one). The writer task just concatenates the
+    * frames it receives — no re-encode, so the reduce side is pure
+    * sequential IO.
+    *
+    * SINGLE-PASS (round-6, guide §2.4): range bounds come from a cheap
+    * up-front stride-sample of ONLY the key columns (a few thousand rows
+    * per input split, early-terminated), so the heavy encode runs exactly
+    * once and its frames flow straight into the shuffle — the former
+    * repartitionByRange needed a persist of every compressed frame
+    * (~input/ratio bytes written to and re-read from the block-manager)
+    * plus a full sampling pass over the persisted frames, two extra stage
+    * barriers whose fixed cost capped 2->8-core scaling at ~0.67
+    * (RangeProfile: 3.5 s of non-encode stages at 2 cores, 2.5 s at 8).
+    * Bounds quality only affects file-size balance, never correctness:
+    * every frame lands in exactly one partition whatever the bounds say.
     */
   private def writeCompressedExchange(
       df: DataFrame,
@@ -279,8 +291,6 @@ object BlockFiles {
       rangeCols: Seq[String],
       n: Int,
       confB: org.apache.spark.broadcast.Broadcast[ConfShim.SerConf]): Array[BlockWriteStat] = {
-    val spark = df.sparkSession
-    import spark.implicits._
     // local sort: clusters each input split's rows by key before chunking,
     // so map-side chunks are key-coherent (ratio and zone quality close to
     // the row exchange) without shuffling a single raw byte
@@ -292,7 +302,59 @@ object BlockFiles {
       require(i >= 0, s"range column '$c' not in schema")
       i
     }.toArray
-    val framesRdd = prepared.queryExecution.toRdd.mapPartitions { rows =>
+
+    // Bounds sample over the CHUNK-START key distribution, not the row
+    // distribution: a frame's shuffle key is its sorted partition's
+    // (chunkIdx × blockSize)-th smallest key, so with few chunks per
+    // partition every frame key sits at its partition's minimum — row-
+    // quantile bounds would send every frame to one writer (measured:
+    // 753 MB into a single reduce task). Per input split this job scans
+    // ONLY the key columns, keeps a deterministic stride sample, sorts it,
+    // and emits the estimated key at each chunk-start quantile position
+    // with that chunk's true round-robin salt — reproducing the (key,
+    // salt) pairs the encode will emit. Byte-budget-closed chunks
+    // (maxChunkBytes) make the estimate coarser; bounds quality only
+    // affects file-size balance, never correctness.
+    val keyDf = df.selectExpr(rangeCols: _*)
+    val kTypes = BtrEncoder.validateSchema(keyDf.schema)
+    val kIdx = Array.tabulate(rangeCols.length)(identity)
+    val blockRows = cfg.blockSize
+    val samples: Array[Array[Byte]] = keyDf.queryExecution.toRdd.mapPartitions { it =>
+      val keys = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var stride = 1L
+      var i = 0L
+      while (it.hasNext) {
+        val r = it.next()
+        if (i % stride == 0) {
+          keys += BtrEncoder.encodeRangeKey(r, kIdx, kTypes)
+          if (keys.length >= 2048) { // halve (keeps a stride sample), double stride
+            val kept = keys.zipWithIndex.collect { case (k, j) if j % 2 == 0 => k }
+            keys.clear(); keys ++= kept
+            stride *= 2
+          }
+        }
+        i += 1
+      }
+      if (keys.isEmpty) Iterator.empty
+      else {
+        val sorted = keys.toArray.sortWith(java.util.Arrays.compareUnsigned(_, _) < 0)
+        val nChunks = math.max(1L, (i + blockRows - 1) / blockRows)
+        val emit = math.min(nChunks, 64L).toInt
+        Iterator.tabulate(emit) { e =>
+          val ci = e.toLong * nChunks / emit
+          val pos = math.min(sorted.length - 1,
+            (ci * blockRows * sorted.length / math.max(1L, i)).toInt)
+          sorted(pos) :+ ((ci % 16).toByte)
+        }
+      }
+    }.collect()
+    val extended = samples.sortWith(java.util.Arrays.compareUnsigned(_, _) < 0)
+    val bounds: Array[Array[Byte]] =
+      if (extended.isEmpty) Array.empty
+      else Array.tabulate(n - 1) { j => extended(((j + 1).toLong * extended.length / n).toInt) }
+    val partitioner = new BinaryRangePartitioner(n, bounds)
+
+    val keyed = prepared.queryExecution.toRdd.mapPartitions { rows =>
       if (rows.isEmpty) Iterator.empty
       else {
         val enc = new BtrEncoder.PartitionEncodeIterator(
@@ -300,36 +362,40 @@ object BlockFiles {
         enc.grouped(schema.length).zipWithIndex.map { case (chunkParts, ci) =>
           val f = frameChunk(chunkParts)
           // key captured from the chunk's FIRST row before its buffers were
-          // reused (PartitionEncodeIterator.lastChunkKey)
-          (enc.chunkKey(ci), ci % 16, f.bytes, f.rawBytes, f.encBytes, f.numRows)
+          // reused (PartitionEncodeIterator.chunkKey)
+          (enc.chunkKey(ci) :+ (ci % 16).toByte, (f.bytes, f.rawBytes, f.encBytes, f.numRows))
         }
       }
     }
-    // Persist the frames before the range exchange: repartitionByRange
-    // launches a SAMPLING job over its child to compute range bounds, and
-    // that job iterates every row — without the persist it would re-run
-    // the entire map-side encode a second time (~2x encode CPU, measured).
-    // What gets cached is the COMPRESSED frames (ratio× smaller than the
-    // input); with MEMORY_AND_DISK it spills to executor-local disk, the
-    // same medium the shuffle writes anyway.
-    val framesDs = spark.createDataset(framesRdd)
-      .toDF("k", "salt", "frame", "raw", "enc", "rows")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val frames = framesDs.repartitionByRange(n, col("k"), col("salt"))
-      frames.queryExecution.toRdd.mapPartitions { it =>
-        if (it.isEmpty) Iterator.empty
-        else {
-          val tc = TaskContext.get()
-          // row layout fixed by the select above: 2=frame 3=raw 4=enc 5=rows
-          val fs = it.map { r =>
-            Frame(r.getBinary(2), r.getLong(3), r.getLong(4), r.getInt(5))
-          }
-          Iterator.single(writeFrames(
-            ConfShim.conf(confB), blocksDir, tc.partitionId(), tc.taskAttemptId(), fs))
-        }
-      }.collect()
-    } finally framesDs.unpersist(blocking = false)
+    keyed.partitionBy(partitioner).mapPartitions { it =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val tc = TaskContext.get()
+        val fs = it.map { case (_, (bytes, raw, enc, rows)) => Frame(bytes, raw, enc, rows) }
+        Iterator.single(writeFrames(
+          ConfShim.conf(confB), blocksDir, tc.partitionId(), tc.taskAttemptId(), fs))
+      }
+    }.collect()
+  }
+
+  /** Range partitioner over the order-preserving binary keys
+    * (BtrEncoder.encodeRangeKey): partition = count of bounds ≤ key under
+    * unsigned-lexicographic order, found by binary search.
+    */
+  final class BinaryRangePartitioner(
+      partitions: Int, bounds: Array[Array[Byte]]) extends org.apache.spark.Partitioner {
+    require(bounds.length < partitions, s"${bounds.length} bounds for $partitions partitions")
+    override def numPartitions: Int = partitions
+    override def getPartition(key: Any): Int = {
+      val k = key.asInstanceOf[Array[Byte]]
+      var lo = 0
+      var hi = bounds.length
+      while (lo < hi) {
+        val m = (lo + hi) >>> 1
+        if (java.util.Arrays.compareUnsigned(bounds(m), k) <= 0) lo = m + 1 else hi = m
+      }
+      lo
+    }
   }
 
   /** Encode one partition's rows and write them as one block file (the raw

@@ -185,40 +185,8 @@ object BtrEncoder {
     /** Binary range key of chunk `ci` (only when keyCols were requested). */
     def chunkKey(ci: Int): Array[Byte] = chunkKeys(ci)
 
-    /** Order-preserving binary encoding: unsigned-lexicographic compare of
-      * the result matches (k0, k1, …) tuple order — ints sign-flipped
-      * big-endian, doubles IEEE-754 total-order bits, strings memcomparable
-      * (0x00 bytes escaped as 0x00 0xFF, terminated by 0x00 0x01, so a key
-      * containing NULs still sorts in Spark's binary-collation order).
-      */
-    private def captureKey(row: InternalRow): Array[Byte] = {
-      val out = new java.io.ByteArrayOutputStream(32)
-      var k = 0
-      while (k < keyCols.length) {
-        val c = keyCols(k)
-        colTypes(c) match {
-          case ColType.Integer =>
-            val v = row.getInt(c) ^ 0x80000000
-            out.write(v >>> 24); out.write(v >>> 16); out.write(v >>> 8); out.write(v)
-          case ColType.Double =>
-            val bits0 = java.lang.Double.doubleToLongBits(row.getDouble(c))
-            val v = if (bits0 < 0) ~bits0 else bits0 ^ Long.MinValue
-            var s = 56
-            while (s >= 0) { out.write((v >>> s).toInt); s -= 8 }
-          case ColType.String =>
-            val bytes = row.getUTF8String(c).getBytes
-            var i = 0
-            while (i < bytes.length) {
-              out.write(bytes(i))
-              if (bytes(i) == 0) out.write(0xFF)
-              i += 1
-            }
-            out.write(0); out.write(1)
-        }
-        k += 1
-      }
-      out.toByteArray
-    }
+    private def captureKey(row: InternalRow): Array[Byte] =
+      encodeRangeKey(row, keyCols, colTypes)
 
     override def hasNext: Boolean = pending.hasNext || rows.hasNext
 
@@ -239,6 +207,43 @@ object BtrEncoder {
       firstRow += len
       pending = parts.iterator
     }
+  }
+
+  /** Order-preserving binary encoding of `keyCols` values: unsigned-
+    * lexicographic compare of the result matches (k0, k1, …) tuple order —
+    * ints sign-flipped big-endian, doubles IEEE-754 total-order bits,
+    * strings memcomparable (0x00 bytes escaped as 0x00 0xFF, terminated by
+    * 0x00 0x01, so a key containing NULs still sorts in Spark's
+    * binary-collation order). Shared by the chunk-key capture above and the
+    * compressed-exchange bounds sampler (BlockFiles).
+    */
+  def encodeRangeKey(row: InternalRow, keyCols: Array[Int], colTypes: Array[Int]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(32)
+    var k = 0
+    while (k < keyCols.length) {
+      val c = keyCols(k)
+      colTypes(c) match {
+        case ColType.Integer =>
+          val v = row.getInt(c) ^ 0x80000000
+          out.write(v >>> 24); out.write(v >>> 16); out.write(v >>> 8); out.write(v)
+        case ColType.Double =>
+          val bits0 = java.lang.Double.doubleToLongBits(row.getDouble(c))
+          val v = if (bits0 < 0) ~bits0 else bits0 ^ Long.MinValue
+          var s = 56
+          while (s >= 0) { out.write((v >>> s).toInt); s -= 8 }
+        case ColType.String =>
+          val bytes = row.getUTF8String(c).getBytes
+          var i = 0
+          while (i < bytes.length) {
+            out.write(bytes(i))
+            if (bytes(i) == 0) out.write(0xFF)
+            i += 1
+          }
+          out.write(0); out.write(1)
+      }
+      k += 1
+    }
+    out.toByteArray
   }
 
   /** Encode every column of `df` into compressed parts. The input's
