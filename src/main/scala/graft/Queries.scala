@@ -43,9 +43,19 @@ object Queries {
     * encode/write paths would leave the correctness gates silently re-using
     * old bytes instead of exercising the new writer (round-3 advice).
     */
+  /** Scratch dirs validated (or built) once per JVM: six queries share
+    * q_prune_src alone, and each paid the manifest read + input count job
+    * again within one bench/verify session. Memoizes only the freshness
+    * VERDICT — every query still reads and decodes the bytes; the on-disk
+    * stamp/manifest check still guards cross-process reuse.
+    */
+  private val validatedScratch =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def cachedBtr(s: SparkSession, name: String, input: DataFrame)(
       build: String => Unit): String = {
     val out = scratch(s, name)
+    if (validatedScratch.contains(out)) return out
     val fp = graft.engine.BuildFingerprint.value
     val stampPath = new org.apache.hadoop.fs.Path(s"$out/_build_fingerprint")
     val fs = stampPath.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -62,6 +72,7 @@ object Queries {
       val o = fs.create(stampPath, true)
       try o.write(fp.getBytes("UTF-8")) finally o.close()
     }
+    validatedScratch.add(out)
     out
   }
 
@@ -338,7 +349,8 @@ object Queries {
       col("doc_id").cast("int").as("doc_id"), col("lang"),
       col("n_chars").cast("int").as("n_chars"))
     val out = cachedBtr(s, s"rt_write_src_${math.abs(dir.hashCode)}", docs)(o =>
-      docs.write.format("btr").mode("overwrite").option("rangeCols", "doc_id").save(o))
+      docs.write.format("btr").mode("overwrite").option("rangeCols", "doc_id")
+        .option("targetPartitionBytes", writePartitionBytes(s)).save(o))
     s.read.format("btr").load(out)
   }
 
@@ -574,9 +586,21 @@ object Queries {
   private def rtNulls(s: SparkSession, dir: String): DataFrame = {
     val docs = nullDocs(s, dir)
     val out = cachedBtr(s, s"rt_nulls_${math.abs(dir.hashCode)}", docs)(o =>
-      docs.write.format("btr").mode("overwrite").option("rangeCols", "doc_id").save(o))
+      docs.write.format("btr").mode("overwrite").option("rangeCols", "doc_id")
+        .option("targetPartitionBytes", writePartitionBytes(s)).save(o))
     s.read.format("btr").load(out)
   }
+
+  /** Byte target for the DSv2 writes' range exchange (AQE advisory,
+    * BtrWrite.advisoryPartitionSizeInBytes): writer count follows input
+    * size — one ~128 MB writer per block file — instead of inheriting
+    * spark.sql.shuffle.partitions, which turned every small scratch table
+    * into 32 near-empty block files that every downstream scan then paid
+    * per-file costs for. Overridable for clusters via
+    * spark.graft.writePartitionBytes.
+    */
+  private def writePartitionBytes(s: SparkSession): String =
+    s.conf.getOption("spark.graft.writePartitionBytes").getOrElse((128L << 20).toString)
 
   private def nullDocs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").selectExpr(
@@ -595,7 +619,8 @@ object Queries {
   private def qAggCount(s: SparkSession, dir: String): DataFrame = {
     val docs = nullDocs(s, dir)
     val out = cachedBtr(s, s"rt_nulls_${math.abs(dir.hashCode)}", docs)(o =>
-      docs.write.format("btr").mode("overwrite").option("rangeCols", "doc_id").save(o))
+      docs.write.format("btr").mode("overwrite").option("rangeCols", "doc_id")
+        .option("targetPartitionBytes", writePartitionBytes(s)).save(o))
     s.read.format("btr").load(out)
       .where(col("doc_id") < 400)
       .agg(
@@ -617,7 +642,8 @@ object Queries {
   private def qAggSum(s: SparkSession, dir: String): DataFrame = {
     val docs = nullDocs(s, dir)
     val out = cachedBtr(s, s"rt_nulls_${math.abs(dir.hashCode)}", docs)(o =>
-      docs.write.format("btr").mode("overwrite").option("rangeCols", "doc_id").save(o))
+      docs.write.format("btr").mode("overwrite").option("rangeCols", "doc_id")
+        .option("targetPartitionBytes", writePartitionBytes(s)).save(o))
     s.read.format("btr").load(out)
       .where(col("doc_id") < 400)
       .agg(
@@ -636,7 +662,8 @@ object Queries {
   private def qPruneNull(s: SparkSession, dir: String): DataFrame = {
     val docs = nullDocs(s, dir)
     val out = cachedBtr(s, s"rt_nulls_${math.abs(dir.hashCode)}", docs)(o =>
-      docs.write.format("btr").mode("overwrite").option("rangeCols", "doc_id").save(o))
+      docs.write.format("btr").mode("overwrite").option("rangeCols", "doc_id")
+        .option("targetPartitionBytes", writePartitionBytes(s)).save(o))
     s.read.format("btr").load(out)
       .where(col("n_chars_n").isNull && col("doc_id") < 700)
       .select("doc_id", "score_n", "lang_n")
@@ -810,13 +837,20 @@ object Queries {
       col("n_chars").cast("int").as("n_chars"))
     val half = (docs.count() / 2).toInt
     val base = scratch(s, s"stream_btr_src_${math.abs(dir.hashCode)}")
-    docs.where(col("doc_id") < half).write.format("btr")
-      .mode("overwrite").option("rangeCols", "doc_id").save(s"$base/batch=0")
-    docs.where(col("doc_id") >= half).write.format("btr")
-      .mode("overwrite").option("rangeCols", "doc_id").save(s"$base/batch=1")
-    val ckpt = scratch(s, s"stream_btr_ckpt_${math.abs(dir.hashCode)}")
-    val fs = new Path(ckpt).getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(ckpt), true) // fresh offsets: read from batch 0
+    // the SOURCE is the operator under test; its two pre-split batch
+    // sub-tables are setup, cached across runs like every other rt_* input
+    val lo = docs.where(col("doc_id") < half)
+    val hi = docs.where(col("doc_id") >= half)
+    cachedBtr(s, s"stream_btr_src_${math.abs(dir.hashCode)}/batch=0", lo)(o =>
+      lo.write.format("btr").mode("overwrite").option("rangeCols", "doc_id")
+        .option("targetPartitionBytes", writePartitionBytes(s)).save(o))
+    cachedBtr(s, s"stream_btr_src_${math.abs(dir.hashCode)}/batch=1", hi)(o =>
+      hi.write.format("btr").mode("overwrite").option("rangeCols", "doc_id")
+        .option("targetPartitionBytes", writePartitionBytes(s)).save(o))
+    // ephemeral tmpfs checkpoint (deleted on create): fresh offsets, and the
+    // fsync'd offset/commit logs stay off the shared virtio /tmp disk
+    val ckpt = graft.ops.StreamingOps.ephemeralCheckpoint(
+      s, s"stream_btr_ckpt_${math.abs(dir.hashCode)}")
     val qname = s"btr_stream_read_${math.abs(dir.hashCode)}"
     val q = s.readStream.format("btr").load(base)
       .writeStream.outputMode("append").format("memory").queryName(qname)
@@ -846,20 +880,25 @@ object Queries {
     fs.delete(new Path(base), true) // fresh source files, sink epochs, offsets
     docs.repartition(2).write.parquet(s"$base/src")
     val sink = s"$base/btr"
-    val wq = s.readStream.schema(docs.schema)
-      .option("maxFilesPerTrigger", "1") // force >= 2 epochs through the sink
-      .parquet(s"$base/src")
-      .writeStream.format("btr")
-      .option("checkpointLocation", s"$base/wckpt")
-      .option("rangeCols", "doc_id")
-      .start(sink)
-    try wq.processAllAvailable() finally wq.stop()
-    val qname = s"btr_stream_sink_${math.abs(dir.hashCode)}"
-    val rq = s.readStream.format("btr").load(sink)
-      .writeStream.outputMode("append").format("memory").queryName(qname)
-      .option("checkpointLocation", s"$base/rckpt")
-      .start()
-    try rq.processAllAvailable() finally rq.stop()
+    val tag = math.abs(dir.hashCode)
+    val qname = s"btr_stream_sink_$tag"
+    graft.ops.StreamingOps.withStreamShufflePartitions(s) {
+      val wq = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1") // force >= 2 epochs through the sink
+        .parquet(s"$base/src")
+        .writeStream.format("btr")
+        .option("checkpointLocation",
+          graft.ops.StreamingOps.ephemeralCheckpoint(s, s"stream_btr_sink_w_$tag"))
+        .option("rangeCols", "doc_id")
+        .start(sink)
+      try wq.processAllAvailable() finally wq.stop()
+      val rq = s.readStream.format("btr").load(sink)
+        .writeStream.outputMode("append").format("memory").queryName(qname)
+        .option("checkpointLocation",
+          graft.ops.StreamingOps.ephemeralCheckpoint(s, s"stream_btr_sink_r_$tag"))
+        .start()
+      try rq.processAllAvailable() finally rq.stop()
+    }
     s.table(qname)
   }
 

@@ -161,16 +161,31 @@ object BtrDecoder {
     }
   }
 
+  /** Scale-adaptive decode parallelism (guide §2): partitions derived from
+    * the table's compressed size (one partition per ~`spark.graft.
+    * decodePartitionBytes`, default 64 MB), clamped to [1, shuffle
+    * partitions]. A 2 MB table no longer fans out into 32 near-empty
+    * shuffle partitions (32 tasks + 32 sequential toLocalIterator jobs in
+    * the CSV view); a 100 TB table still gets the full configured width.
+    */
+  def advisoryPartitions(spark: SparkSession, encBytes: Long): Int = {
+    val target = spark.conf.getOption("spark.graft.decodePartitionBytes")
+      .map(_.toLong).getOrElse(64L << 20)
+    val max = spark.sessionState.conf.numShufflePartitions
+    math.max(1, math.min(max, ((encBytes + target - 1) / target).toInt))
+  }
+
   def decode(
       parts: Dataset[CompressedPart],
-      columns: Seq[ColumnMeta]): DataFrame = {
+      columns: Seq[ColumnMeta],
+      advisory: Int = 0): DataFrame = {
     val outSchema = StructType(
       columns.map(c => StructField(c.name, sparkType(c.colType), nullable = c.nullable)))
     val wantedNames = columns.map(_.name)
     val spark = parts.sparkSession
     val nameToOut: Map[String, Int] = wantedNames.zipWithIndex.toMap
     val nOut = columns.length
-    val n = spark.sessionState.conf.numShufflePartitions
+    val n = if (advisory > 0) advisory else spark.sessionState.conf.numShufflePartitions
     val slim = parts.toDF()
       .filter(col("colName").isin(wantedNames: _*))
       .select("partitionId", "chunkIdx", "colName", "colType", "numRows", "bytes",
@@ -194,6 +209,7 @@ object BtrDecoder {
         columns.map(n =>
           byName.getOrElse(n, throw new IllegalArgumentException(s"no column '$n' in $dir")))
       }
-    decode(BtrTable.parts(spark, dir), selected)
+    decode(BtrTable.parts(spark, dir), selected,
+      advisoryPartitions(spark, manifest.encBytes))
   }
 }

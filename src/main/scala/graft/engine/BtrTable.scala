@@ -307,8 +307,10 @@ object BtrTable {
       .agg(min(col("chunkIdx")).as("c0"), max(col("chunkIdx")).as("c1"))
       .as[(Int, Int, Int)]
       .collect()
+    val advisory = BtrDecoder.advisoryPartitions(spark, manifest.encBytes)
     if (ranges.isEmpty)
-      return BtrDecoder.decode(allParts.filter(lit(false)).as[graft.format.CompressedPart], selected)
+      return BtrDecoder.decode(
+        allParts.filter(lit(false)).as[graft.format.CompressedPart], selected, advisory)
     // Predicate pushed straight into the parts scan — no join, no exchange.
     // With very many partitions a giant OR would choke Catalyst, so beyond
     // a cap we fall back to the partition-id envelope plus the global chunk
@@ -323,7 +325,7 @@ object BtrTable {
         col("partitionId").between(ps.min, ps.max) &&
           col("chunkIdx").between(ranges.map(_._2).min, ranges.map(_._3).max)
       }
-    BtrDecoder.decode(allParts.filter(pred).as[graft.format.CompressedPart], selected)
+    BtrDecoder.decode(allParts.filter(pred).as[graft.format.CompressedPart], selected, advisory)
   }
 
   def parts(spark: SparkSession, dir: String): Dataset[CompressedPart] = {

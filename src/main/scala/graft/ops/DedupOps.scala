@@ -57,15 +57,23 @@ object DedupOps {
   }
 
   /** numHashes-minhash signature via the one-permutation trick family
-    * h_i(x) = mix(x ^ seed_i) (distinct seeded functions).
+    * h_i(x) = mix(x ^ seed_i) (distinct seeded functions). The per-function
+    * seed mixes are hoisted out of the shingle loop — they are shingle-
+    * invariant, and recomputing them inside it doubled the mix64 count of
+    * the signature pass (shingles × numHashes extra mixes; the signature
+    * pass dominates dedup_minhash CPU).
     */
   def minhashSignature(sh: Array[Long], numHashes: Int, seed: Long): Array[Long] = {
+    val seedMix = new Array[Long](numHashes)
+    var f0 = 0
+    while (f0 < numHashes) { seedMix(f0) = mix64(seed + f0); f0 += 1 }
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < sh.length) {
+      val shv = sh(i)
       var f = 0
       while (f < numHashes) {
-        val h = mix64(sh(i) ^ mix64(seed + f))
+        val h = mix64(shv ^ seedMix(f))
         if (h < sig(f)) sig(f) = h
         f += 1
       }

@@ -56,6 +56,47 @@ object StreamingOps {
     finally q.stop()
   }
 
+  /** Ephemeral checkpoint dir for the HARNESS streaming queries (memory-
+    * sink oracles that recompute from scratch every run): fast local
+    * storage, deleted before each start so offsets never carry over. With
+    * no explicit location Spark creates a temp checkpoint under /tmp —
+    * on this sandbox one shared virtio disk whose fsync'd offset/commit/
+    * state-store writes dominate the micro-batch wall (the same shared-
+    * disk argument as the bench's tmpfs spill; a real cluster gives
+    * executors local disks). Production paths (windowedEventCountsToFiles,
+    * streamToBtr*) take explicit DURABLE checkpoint dirs — unaffected.
+    * Override via spark.graft.streamCheckpointDir / SPARK_GRAFT_TMPFS.
+    */
+  def ephemeralCheckpoint(spark: SparkSession, name: String): String = {
+    val base = spark.conf.getOption("spark.graft.streamCheckpointDir")
+      .getOrElse("file:" + sys.env.getOrElse("SPARK_GRAFT_TMPFS", "/dev/shm") + "/graft_stream_ckpt")
+    val dir = s"$base/$name"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    dir
+  }
+
+  /** Run `body` with spark.sql.shuffle.partitions set for a STREAMING
+    * query, restoring the session value after. Streaming plans get no AQE
+    * partition coalescing, so the stateful shuffle / per-epoch write
+    * exchange keeps whatever width the session has — at 32 local cores
+    * that meant 32 state-store commits (and 32 block files per sink epoch)
+    * for kilobyte-sized partitions, with the per-partition fixed commit
+    * cost dominating (measured: state commit 10.2 s summed at 32
+    * partitions vs 0.58 s at 8 for the same 38913 state rows). Default
+    * cores/4, bounded below by 2; production tunes
+    * spark.graft.streamShufflePartitions to its executor width.
+    */
+  def withStreamShufflePartitions[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val n = spark.conf.getOption("spark.graft.streamShufflePartitions")
+      .map(_.toInt)
+      .getOrElse(math.max(2, spark.sparkContext.defaultParallelism / 4))
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** ORACLE HARNESS ONLY: same aggregation through a complete-mode memory
     * sink so the static input yields the full batch-equivalent result for
     * the DuckDB compare. The memory sink materializes the aggregate on the
@@ -64,13 +105,29 @@ object StreamingOps {
     */
   def windowedEventCounts(spark: SparkSession, dir: String): DataFrame = {
     val qname = "events_agg_" + math.abs(dir.hashCode).toString
-    val q = windowedAgg(spark, dir).writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(qname)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    // no-data micro-batches exist to let the advanced watermark EMIT/EXPIRE
+    // state (append-mode semantics); a complete-mode sink re-emits the full
+    // aggregate every batch, so the extra batch only re-runs the whole
+    // state-store commit + sink cycle for an identical result. Skip it
+    // (restore the conf after — it is session-wide).
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try withStreamShufflePartitions(spark) {
+      val q = windowedAgg(spark, dir).writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", ephemeralCheckpoint(spark, qname))
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
     spark.table(qname).select(
       col("window.start").cast("string").as("window_start"),
       col("event_type"),

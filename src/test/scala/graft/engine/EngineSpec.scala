@@ -203,7 +203,16 @@ class EngineSpec extends AnyFunSuite {
     assert(view.read(full.length + 10L, 5).isEmpty, "past-EOF read is empty")
   }
 
-  test("BtrCsvView backward seek re-enters at the covering partition, not row 0") {
+  /** The seek tests need a MULTI-partition decode (a seek re-enters at a
+    * partition boundary); the scale-adaptive decode width would give this
+    * kilobyte table one partition, so pin a tiny per-partition byte target.
+    */
+  private def withTinyDecodePartitions[T](body: => T): T = {
+    spark.conf.set("spark.graft.decodePartitionBytes", "4096")
+    try body finally spark.conf.unset("spark.graft.decodePartitionBytes")
+  }
+
+  test("BtrCsvView backward seek re-enters at the covering partition, not row 0") { withTinyDecodePartitions {
     import spark.implicits._
     val dir = tmpDir("csvview_seek")
     // 8 distinct block files => 8 scan partitions for the view's rdd
@@ -223,9 +232,9 @@ class EngineSpec extends AnyFunSuite {
     // a seek into the header region still replays from the top
     assert(new String(view.read(0, 10), "UTF-8") == full.take(10))
     assert(view.lastReplayFrom == 0)
-  }
+  } }
 
-  test("BtrCsvView far-forward seek re-enters at the covering partition, not a driver drain") {
+  test("BtrCsvView far-forward seek re-enters at the covering partition, not a driver drain") { withTinyDecodePartitions {
     import spark.implicits._
     val dir = tmpDir("csvview_fwd")
     val df = (0 until 4000).map(i => (i, s"name_$i")).toDF("id", "name").repartition(8)
@@ -249,7 +258,7 @@ class EngineSpec extends AnyFunSuite {
     assert(new String(view.read(nearOff, 50), "UTF-8")
       == full.substring(nearOff.toInt, nearOff.toInt + 50))
     assert(view.lastReplayFrom == entered, "no re-init for an in-partition gap")
-  }
+  } }
 
   test("manifest json round-trips") {
     import graft.format._

@@ -222,6 +222,38 @@ class BtrSourceSpec extends AnyFunSuite {
     assert(back.except(df).count() == 0 && df.except(back).count() == 0)
   }
 
+  test("compressed exchange spreads frames over multiple writers (chunk-quantile bounds)") {
+    import spark.implicits._
+    val dir = tmp("cxr_spread")
+    // 8 sorted-within-partition splits x many chunks: the single-pass bounds
+    // sampler must place frames across writers, not funnel them into one
+    // (the row-quantile regression sent every partition-min key to writer 0)
+    val df = (0 until 8000)
+      .map(i => (s"k${"%05d".format(i % 997)}", i, s"body $i"))
+      .toDF("key", "v", "content").repartition(8)
+    BlockFiles.write(df, dir, BtrConfig(blockSize = 128),
+      rangeCols = Seq("key"), compressedExchange = true)
+    val files = new java.io.File(new java.net.URI(s"$dir/blocks"))
+      .listFiles().filter(_.getName.startsWith("part-"))
+    assert(files.length > 2, s"frames funneled into ${files.length} writer(s)")
+    val sizes = files.map(_.length())
+    assert(sizes.max < sizes.sum, "one writer holds everything")
+    val back = spark.read.format("btr").load(dir)
+    assert(back.count() == 8000)
+    assert(back.except(df).count() == 0 && df.except(back).count() == 0)
+  }
+
+  test("binary range partitioner: bounds binary search respects unsigned lexicographic order") {
+    val b = Array(Array[Byte](10), Array[Byte](20), Array[Byte](-1, 0)) // -1 = 0xff unsigned
+    val p = new BlockFiles.BinaryRangePartitioner(4, b)
+    assert(p.getPartition(Array[Byte](0)) == 0)
+    assert(p.getPartition(Array[Byte](10)) == 1, "boundary key goes right")
+    assert(p.getPartition(Array[Byte](15)) == 1)
+    assert(p.getPartition(Array[Byte](20, 5)) == 2)
+    assert(p.getPartition(Array[Byte](-2)) == 2, "0xfe sorts below 0xff00 unsigned")
+    assert(p.getPartition(Array[Byte](-1, 1)) == 3, "0xff01 above the last bound")
+  }
+
   test("columnar read path: scan reports columnar batches") {
     import spark.implicits._
     val dir = tmp("columnar")
