@@ -877,8 +877,13 @@ object Queries {
       col("n_chars").cast("int").as("n_chars"))
     val base = scratch(s, s"stream_btr_sink_${math.abs(dir.hashCode)}")
     val fs = new Path(base).getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(base), true) // fresh source files, sink epochs, offsets
-    docs.repartition(2).write.parquet(s"$base/src")
+    fs.delete(new Path(s"$base/btr"), true) // fresh sink epochs (the operator under test)
+    // the 2-file parquet SOURCE is setup, not the operator — reuse it across
+    // runs like every other cached input (delete+rewrite if incomplete)
+    if (!fs.exists(new Path(s"$base/src/_SUCCESS"))) {
+      fs.delete(new Path(s"$base/src"), true)
+      docs.repartition(2).write.parquet(s"$base/src")
+    }
     val sink = s"$base/btr"
     val tag = math.abs(dir.hashCode)
     val qname = s"btr_stream_sink_$tag"

@@ -184,9 +184,12 @@ object DedupOps {
         (id, minhashSignature(sh, numHashes, seed))
       }
       .toDF("id", "sig")
-      .cache()
 
-    // band key = hash of the band's slice of the signature
+    // band key = hash of the band's slice of the signature. Cache sits on
+    // the BANDED rows (id, band, bkey — the skinniest point), not the
+    // signatures: the self-join below consumes banded twice, and an
+    // uncached banded re-ran the whole shingle→signature→window lineage on
+    // both sides (duplicated Window subtrees in the physical plan).
     val banded = capBuckets(sigs.select(
       col("id"),
       explode(array((0 until bands).map { b =>
@@ -196,6 +199,7 @@ object DedupOps {
       }: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey")),
       maxBucket, droppedObs)
+      .cache()
 
     val cand = banded.as("l")
       .join(banded.as("r"),
@@ -296,7 +300,9 @@ object DedupOps {
       .as[(Long, String)]
       .map { case (id, t) => (id, simhash64(t)) }
       .toDF("id", "sh")
-      .cache()
+    // cache on the banded rows (see minhashPairs): the self-join reads them
+    // twice, and caching upstream of the banding window left the window +
+    // simhash lineage duplicated across both sides
     val banded = capBuckets(hashed.select(
       col("id"), col("sh"),
       explode(array((0 until 4).map { b =>
@@ -305,6 +311,7 @@ object DedupOps {
       }: _*)).as("bk"))
       .select(col("id"), col("sh"), col("bk.band").as("band"), col("bk.bkey").as("bkey")),
       maxBucket, droppedObs)
+      .cache()
     banded.as("l")
       .join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
@@ -356,6 +363,9 @@ object DedupOps {
       .join(vecs.select(col("id"), col("v").as("vb")), "id")
       .filter(col("va") === col("vb"))
       .select(col("rep").as("id_a"), col("id").as("id_b"), lit(1.0).as("cosine"))
+    // reps stays cached too: the dim probe (head) and the sig build both
+    // consume it, and the collapse lineage (hash + groupBy + semi-join)
+    // re-ran for each without it
     val reps = withH
       .join(repIds.select(col("rep").as("id")), Seq("id"), "left_semi")
       .select("id", "v")
@@ -367,6 +377,9 @@ object DedupOps {
     val hyper = Array.fill(planes, dim)(rnd.nextGaussian())
     val hyperB = spark.sparkContext.broadcast(hyper)
 
+    // cache on the signed buckets (see minhashPairs): the self-join reads
+    // them twice; caching upstream (reps) still re-ran the hyperplane dot
+    // products and the capping window on both sides
     val sigDf = capBuckets(
       reps.map { case (id, v) =>
         val h = hyperB.value
@@ -383,6 +396,7 @@ object DedupOps {
       }.toDF("id", "v", "sig")
         .withColumn("band", lit(0)).withColumnRenamed("sig", "bkey"),
       maxBucket, droppedObs)
+      .cache()
 
     val cand = sigDf.as("l")
       .join(sigDf.as("r"), col("l.bkey") === col("r.bkey") && col("l.id") < col("r.id"))
