@@ -1,8 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Deduplication operators for training-data pipelines, each designed
   * around ONE banding/bucket shuffle instead of any O(n²) comparison —
@@ -133,26 +132,46 @@ object DedupOps {
     (reps, dupPairs)
   }
 
-  /** Drop over-full LSH buckets from candidate generation. This TRADES
-    * recall for boundedness (a genuinely-near pair sharing only a hot
-    * bucket is never emitted) — the count of dropped rows is observable:
-    * pass an `Observation` and read its `dropped_bucket_rows` metric after
-    * the action (zero-cost plan-level metric, no extra pass).
+  /** Attach the hot-bucket drop count (rows belonging to over-cap buckets,
+    * emitted by the bucket pass as marker rows with `dropped > 0`) to an
+    * `Observation`, then strip the markers. Same observable contract as the
+    * former window-based capBuckets (`dropped_bucket_rows`), but the cap is
+    * now enforced INSIDE the single bucket-grouping pass — no extra window
+    * shuffle, no second read of the banded rows.
     */
-  private def capBuckets(
-      banded: DataFrame,
-      maxBucket: Int,
-      dropped: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
-    val w = Window.partitionBy(col("band"), col("bkey"))
-    val sized = banded.withColumn("__bsz", count(lit(1)).over(w))
+  private def observeDropped(
+      cand: DataFrame,
+      dropped: Option[org.apache.spark.sql.Observation]): DataFrame = {
     val observed = dropped match {
-      case Some(obs) => sized.observe(obs,
-        sum(when(col("__bsz") > maxBucket, 1L).otherwise(0L)).as("dropped_bucket_rows"))
-      case None => sized
+      case Some(obs) => cand.observe(obs,
+        coalesce(sum(when(col("dropped") > 0L, col("dropped"))), lit(0L))
+          .as("dropped_bucket_rows"))
+      case None => cand
     }
-    observed
-      .filter(col("__bsz") <= maxBucket)
-      .drop("__bsz")
+    observed.filter(col("dropped") === 0L).drop("dropped")
+  }
+
+  /** Materialize one LSH bucket up to `maxBucket` rows. Returns null (and
+    * leaves the iterator drained into `droppedOut(0)` = total bucket size)
+    * when the bucket exceeds the cap — the boilerplate-black-hole defense:
+    * memory per group stays bounded by the cap, and an over-cap bucket
+    * contributes a marker count instead of O(bucket²) candidates.
+    */
+  private def drainBucket[T](
+      it: Iterator[T],
+      maxBucket: Int,
+      droppedOut: Array[Long])(implicit ct: scala.reflect.ClassTag[T]): Array[T] = {
+    val buf = new scala.collection.mutable.ArrayBuffer[T](math.min(maxBucket, 16))
+    while (it.hasNext) {
+      buf += it.next()
+      if (buf.length > maxBucket) {
+        var n = buf.length.toLong
+        while (it.hasNext) { it.next(); n += 1 }
+        droppedOut(0) = n
+        return null
+      }
+    }
+    buf.toArray
   }
 
   /** Near-duplicate pairs by MinHash+LSH: `bands` bands of `rows` hashes;
@@ -177,36 +196,43 @@ object DedupOps {
     val spark = df.sparkSession
     import spark.implicits._
     val (reps, dupPairs) = collapseExact(df, idCol, textCol)
-    val sigs = reps
+    // ONE pass per rep: shingles → signature → per-band bucket keys (the
+    // band index is folded into the key hash, so a single groupByKey over
+    // `bkey` covers all bands; a cross-band key collision only creates an
+    // extra candidate, which exact verification then rejects). The former
+    // shape — banding window + cached self-join + distinct — read the
+    // banded rows three times through two extra exchanges; this is one
+    // banding shuffle plus one candidate dedup over the (small) pair set.
+    val banded: Dataset[(Long, Long)] = reps
       .as[(Long, String)]
-      .map { case (id, text) =>
-        val sh = shingles(text, shingleK)
-        (id, minhashSignature(sh, numHashes, seed))
+      .flatMap { case (id, text) =>
+        val sig = minhashSignature(shingles(text, shingleK), numHashes, seed)
+        Iterator.tabulate(bands) { b =>
+          var h = 0xcbf29ce484222325L ^ mix64(b.toLong)
+          var r = 0
+          while (r < rowsPerBand) { h = (h ^ sig(b * rowsPerBand + r)) * 0x100000001b3L; r += 1 }
+          (mix64(h), id)
+        }
       }
-      .toDF("id", "sig")
-
-    // band key = hash of the band's slice of the signature. Cache sits on
-    // the BANDED rows (id, band, bkey — the skinniest point), not the
-    // signatures: the self-join below consumes banded twice, and an
-    // uncached banded re-ran the whole shingle→signature→window lineage on
-    // both sides (duplicated Window subtrees in the physical plan).
-    val banded = capBuckets(sigs.select(
-      col("id"),
-      explode(array((0 until bands).map { b =>
-        struct(
-          lit(b).as("band"),
-          hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bkey"))
-      }: _*)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey")),
-      maxBucket, droppedObs)
-      .cache()
-
-    val cand = banded.as("l")
-      .join(banded.as("r"),
-        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .distinct()
+    val cand = observeDropped(
+      banded.groupByKey(_._1)
+        .flatMapGroups { (_, it) =>
+          val dropped = new Array[Long](1)
+          val rows = drainBucket(it.map(_._2), maxBucket, dropped)
+          if (rows == null) Iterator.single((0L, 0L, dropped(0)))
+          else {
+            java.util.Arrays.sort(rows)
+            // strict < (two bands of one doc can share a bucket key)
+            for {
+              i <- Iterator.range(0, rows.length - 1)
+              j <- Iterator.range(i + 1, rows.length)
+              if rows(i) != rows(j)
+            } yield (rows(i), rows(j), 0L)
+          }
+        }
+        .toDF("id_a", "id_b", "dropped"),
+      droppedObs)
+      .dropDuplicates("id_a", "id_b")
 
     // verify candidates with exact jaccard over shingles (recompute on the
     // candidate set only — avoids shipping full shingle sets through LSH)
@@ -296,30 +322,38 @@ object DedupOps {
     val spark = df.sparkSession
     import spark.implicits._
     val (reps, dupPairs) = collapseExact(df, idCol, textCol)
-    val hashed = reps
+    // one pass: simhash → 4 banded rows (band folded into the bucket key;
+    // a cross-band collision only duplicates a candidate, deduped below).
+    // In-bucket pair generation replaces the former window + cached
+    // self-join + distinct — one banding shuffle instead of three reads.
+    val banded: Dataset[(Long, Long, Long)] = reps
       .as[(Long, String)]
-      .map { case (id, t) => (id, simhash64(t)) }
-      .toDF("id", "sh")
-    // cache on the banded rows (see minhashPairs): the self-join reads them
-    // twice, and caching upstream of the banding window left the window +
-    // simhash lineage duplicated across both sides
-    val banded = capBuckets(hashed.select(
-      col("id"), col("sh"),
-      explode(array((0 until 4).map { b =>
-        struct(lit(b).as("band"),
-          shiftright(col("sh"), b * 16).bitwiseAND(lit(0xffffL)).as("bkey"))
-      }: _*)).as("bk"))
-      .select(col("id"), col("sh"), col("bk.band").as("band"), col("bk.bkey").as("bkey")),
-      maxBucket, droppedObs)
-      .cache()
-    banded.as("l")
-      .join(banded.as("r"),
-        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
-          col("l.id") < col("r.id"))
-      .select(
-        col("l.id").as("id_a"), col("r.id").as("id_b"),
-        bit_count(col("l.sh").bitwiseXOR(col("r.sh"))).as("hamming"))
-      .distinct()
+      .flatMap { case (id, t) =>
+        val sh = simhash64(t)
+        Iterator.tabulate(4) { b =>
+          (mix64((b.toLong << 62) ^ ((sh >>> (b * 16)) & 0xffffL) ^ 0x5851f42d4c957f2dL),
+            id, sh)
+        }
+      }
+    observeDropped(
+      banded.groupByKey(_._1)
+        .flatMapGroups { (_, it) =>
+          val dropped = new Array[Long](1)
+          val rows = drainBucket(it.map(r => (r._2, r._3)), maxBucket, dropped)
+          if (rows == null) Iterator.single((0L, 0L, 0, dropped(0)))
+          else {
+            val sorted = rows.sortBy(_._1)
+            for {
+              i <- Iterator.range(0, sorted.length - 1)
+              j <- Iterator.range(i + 1, sorted.length)
+              if sorted(i)._1 != sorted(j)._1
+            } yield (sorted(i)._1, sorted(j)._1,
+              java.lang.Long.bitCount(sorted(i)._2 ^ sorted(j)._2), 0L)
+          }
+        }
+        .toDF("id_a", "id_b", "hamming", "dropped"),
+      droppedObs)
+      .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
       .unionAll(dupPairs.withColumn("hamming", lit(0)))
   }
@@ -363,51 +397,56 @@ object DedupOps {
       .join(vecs.select(col("id"), col("v").as("vb")), "id")
       .filter(col("va") === col("vb"))
       .select(col("rep").as("id_a"), col("id").as("id_b"), lit(1.0).as("cosine"))
-    // reps stays cached too: the dim probe (head) and the sig build both
-    // consume it, and the collapse lineage (hash + groupBy + semi-join)
-    // re-ran for each without it
     val reps = withH
       .join(repIds.select(col("rep").as("id")), Seq("id"), "left_semi")
       .select("id", "v")
       .as[(Long, Array[Float])]
-      .cache()
 
-    val dim = reps.head()._2.length
-    val rnd = new scala.util.Random(seed)
-    val hyper = Array.fill(planes, dim)(rnd.nextGaussian())
-    val hyperB = spark.sparkContext.broadcast(hyper)
-
-    // cache on the signed buckets (see minhashPairs): the self-join reads
-    // them twice; caching upstream (reps) still re-ran the hyperplane dot
-    // products and the capping window on both sides
-    val sigDf = capBuckets(
-      reps.map { case (id, v) =>
-        val h = hyperB.value
-        var sig = 0
-        var p = 0
-        while (p < planes) {
-          var dot = 0.0
-          var i = 0
-          while (i < v.length) { dot += h(p)(i) * v(i); i += 1 }
-          if (dot >= 0) sig |= 1 << p
-          p += 1
+    // ONE sign-LSH pass: the hyperplane family is rebuilt deterministically
+    // per executor from (seed, planes, dim) — no driver dim probe (the
+    // former reps.head() was an extra job + forced cache), no broadcast.
+    // Each bucket generates its pairs AND verifies cosine in-group (both
+    // vectors are present), replacing the cached self-join + verify map —
+    // the vectors cross the wire exactly once.
+    val cand = observeDropped(
+      reps.map { case (id, v) => (signBucket(v, planes, seed), id, v) }
+        .groupByKey(_._1)
+        .flatMapGroups { (_, it) =>
+          val dropped = new Array[Long](1)
+          val rows = drainBucket(it.map(r => (r._2, r._3)), maxBucket, dropped)
+          if (rows == null) Iterator.single((0L, 0L, 0.0, dropped(0)))
+          else {
+            val sorted = rows.sortBy(_._1)
+            for {
+              i <- Iterator.range(0, sorted.length - 1)
+              j <- Iterator.range(i + 1, sorted.length)
+            } yield (sorted(i)._1, sorted(j)._1,
+              SimilarityOps.cosine(sorted(i)._2, sorted(j)._2), 0L)
+          }
         }
-        (id, v, sig)
-      }.toDF("id", "v", "sig")
-        .withColumn("band", lit(0)).withColumnRenamed("sig", "bkey"),
-      maxBucket, droppedObs)
-      .cache()
+        .toDF("id_a", "id_b", "cosine", "dropped"),
+      droppedObs)
 
-    val cand = sigDf.as("l")
-      .join(sigDf.as("r"), col("l.bkey") === col("r.bkey") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("l.v").as("va"),
-        col("r.id").as("id_b"), col("r.v").as("vb"))
-
-    cand.as[(Long, Array[Float], Long, Array[Float])]
-      .map { case (a, va, b, vb) => (a, b, SimilarityOps.cosine(va, vb)) }
-      .toDF("id_a", "id_b", "cosine")
+    cand
       .filter(col("cosine") >= threshold)
       .unionAll(dupPairs)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+  }
+
+  /** Sign-LSH bucket of one vector under the (seed, planes, dim)-keyed
+    * deterministic hyperplane family (see SimilarityOps.hyperplanes).
+    */
+  private def signBucket(v: Array[Float], planes: Int, seed: Long): Int = {
+    val h = SimilarityOps.hyperplanes(seed, planes, v.length)
+    var sig = 0
+    var p = 0
+    while (p < planes) {
+      var dot = 0.0
+      var i = 0
+      while (i < v.length) { dot += h(p)(i) * v(i); i += 1 }
+      if (dot >= 0) sig |= 1 << p
+      p += 1
+    }
+    sig
   }
 }

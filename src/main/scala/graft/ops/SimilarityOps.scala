@@ -23,6 +23,20 @@ object SimilarityOps {
     */
   @inline def round4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
 
+  /** Deterministic random-hyperplane family keyed on (seed, planes, dim),
+    * built lazily PER EXECUTOR (scala.util.Random's Gaussian sequence is
+    * platform-independent, so every task sees identical planes). Replaces
+    * a driver-side build + broadcast — and the `head()` job that was needed
+    * just to learn `dim` before any task could run.
+    */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), Array[Array[Double]]]()
+  def hyperplanes(seed: Long, planes: Int, dim: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((seed, planes, dim), { _ =>
+      val rnd = new scala.util.Random(seed)
+      Array.fill(planes, dim)(rnd.nextGaussian())
+    })
+
   def cosine(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
@@ -36,25 +50,27 @@ object SimilarityOps {
     if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
   }
 
-  /** Exact top-k by cosine for each query vector.
-    * Queries are collected + broadcast (they must be small — that is the
-    * premise of broadcast ANN); corpus streams through mapPartitions with a
-    * k-bounded heap per query, then a final per-query top-k merge.
+  /** Shared ANN engine: ONE corpus pass with a k-bounded heap per query,
+    * then a global per-query top-k merge of the (numQueries × k per
+    * partition) partials. Queries are collected + broadcast — they must be
+    * small, the premise of broadcast ANN. `bucketOf` maps a corpus vector
+    * to its bucket; a query scores it only when the bucket is in the
+    * query's `probes` set (null probes = exact/brute: score everything).
+    * The shuffle carries only candidate ids+cosines, never the corpus —
+    * the only shape that survives a 100 TB corpus (guide §2.3: shuffle
+    * keys and metadata, not payloads).
     */
-  def bruteForceTopK(
+  private def heapTopK(
       corpus: DataFrame,
-      queries: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int): DataFrame = {
+      k: Int,
+      qs: Array[(Long, Array[Float])],
+      bucketOf: Array[Float] => Int,
+      probes: Array[Array[Int]]): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val qs: Array[(Long, Array[Float])] = queries
-      .select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])]
-      .collect()
     val qsB = spark.sparkContext.broadcast(qs)
-
     val partials = corpus
       .select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
@@ -71,14 +87,17 @@ object SimilarityOps {
               if (c != 0) c else java.lang.Long.compare(y._2, x._2)
             }))
         it.foreach { case (cid, cvec) =>
+          val b = if (probes == null) 0 else bucketOf(cvec)
           var q = 0
           while (q < queries.length) {
-            val c = round4(cosine(queries(q)._2, cvec))
-            val h = heaps(q)
-            if (h.size < k) h.add((c, cid))
-            else {
-              val worst = h.peek()
-              if (c > worst._1 || (c == worst._1 && cid < worst._2)) { h.poll(); h.add((c, cid)) }
+            if (probes == null || java.util.Arrays.binarySearch(probes(q), b) >= 0) {
+              val c = round4(cosine(queries(q)._2, cvec))
+              val h = heaps(q)
+              if (h.size < k) h.add((c, cid))
+              else {
+                val worst = h.peek()
+                if (c > worst._1 || (c == worst._1 && cid < worst._2)) { h.poll(); h.add((c, cid)) }
+              }
             }
             q += 1
           }
@@ -102,6 +121,27 @@ object SimilarityOps {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank"))
   }
+
+  private def collectQueries(
+      queries: DataFrame, idCol: String, vecCol: String): Array[(Long, Array[Float])] = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    queries.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .collect()
+  }
+
+  /** Exact top-k by cosine for each query vector (the heapTopK engine with
+    * no bucket filter).
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame =
+    heapTopK(corpus, idCol, vecCol, k,
+      collectQueries(queries, idCol, vecCol), _ => 0, null)
 
   /** IVF (inverted-file) ANN: k-means centroids trained on a deterministic
     * driver-side sample partition the corpus into nCentroids buckets; each
@@ -154,31 +194,18 @@ object SimilarityOps {
     }
     val centB = spark.sparkContext.broadcast(centroids)
 
-    val bucketed = vecs
-      .map { case (id, v) => (id, v, nearest(centB.value, v)) }
-      .toDF("corpus_id", "cvec", "bucket")
-
-    val qProbes = queries.select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])]
-      .flatMap { case (qid, qv) =>
-        val cents = centB.value
-        val byDist = cents.indices.sortBy(c => -cosineD(cents(c), qv))
-        byDist.take(nProbe).map(b => (qid, qv, b))
-      }
-      .toDF("query_id", "qvec", "bucket")
-
-    val cand = qProbes.join(bucketed, "bucket")
-      .select(col("query_id"), col("qvec"), col("corpus_id"), col("cvec"))
-      .as[(Long, Array[Float], Long, Array[Float])]
-      .map { case (qid, qv, cid, cv) => (qid, cid, round4(cosine(qv, cv))) }
-      .toDF("query_id", "corpus_id", "cosine")
-
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("corpus_id").asc)
-    cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank"))
+    // probe sets computed driver-side over the (small, already collected)
+    // query set; candidates never leave their corpus partition — the former
+    // shape shuffled the bucketed corpus (vectors and all) through a join
+    // plus a second exchange for the rank window (guide §2.3/§2.4)
+    val qs = collectQueries(queries, idCol, vecCol)
+    val probes: Array[Array[Int]] = qs.map { case (_, qv) =>
+      val cents = centB.value
+      val byDist = cents.indices.sortBy(c => -cosineD(cents(c), qv))
+      byDist.take(nProbe).sorted.toArray
+    }
+    heapTopK(corpus, idCol, vecCol, k, qs,
+      v => nearest(centB.value, v), probes)
   }
 
   private def nearest(centroids: Array[Array[Double]], v: Array[Float]): Int = {
@@ -217,52 +244,33 @@ object SimilarityOps {
       k: Int,
       planes: Int = 10,
       seed: Long = 7L): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val corpusVecs = corpus.select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])]
-    val dim = corpusVecs.head()._2.length
-    val rnd = new scala.util.Random(seed)
-    val hyper = Array.fill(planes, dim)(rnd.nextGaussian())
-    val hyperB = spark.sparkContext.broadcast(hyper)
-
-    def sigOf(v: Array[Float]): Int = {
-      val h = hyperB.value
-      var sig = 0
-      var p = 0
-      while (p < planes) {
-        var dot = 0.0
-        var i = 0
-        while (i < v.length) { dot += h(p)(i) * v(i); i += 1 }
-        if (dot >= 0) sig |= 1 << p
-        p += 1
-      }
-      sig
+    // each query probes its own bucket + all hamming-1 buckets (multiprobe);
+    // probe sets are computed driver-side from the deterministic per-
+    // executor hyperplane family (no dim-probe job, no broadcast build) and
+    // the corpus is scanned ONCE with per-query heaps — the former shape
+    // shuffled the full corpus vectors through a bucket join, then paid a
+    // dropDuplicates plus a rank-window exchange on the candidates
+    val qs = collectQueries(queries, idCol, vecCol)
+    require(qs.nonEmpty, "empty query set")
+    val probes: Array[Array[Int]] = qs.map { case (_, qv) =>
+      val s = sigOf(qv, planes, seed)
+      (Seq(s) ++ (0 until planes).map(b => s ^ (1 << b))).distinct.sorted.toArray
     }
+    heapTopK(corpus, idCol, vecCol, k, qs, v => sigOf(v, planes, seed), probes)
+  }
 
-    val bucketed = corpusVecs.map { case (id, v) => (id, v, sigOf(v)) }
-      .toDF("corpus_id", "cvec", "sig")
-
-    // each query probes its bucket + hamming-1 buckets
-    val qProbes = queries.select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])]
-      .flatMap { case (qid, qv) =>
-        val s = sigOf(qv)
-        (Seq(s) ++ (0 until planes).map(b => s ^ (1 << b))).map(p => (qid, qv, p))
-      }
-      .toDF("query_id", "qvec", "sig")
-
-    val cand = qProbes.join(bucketed, "sig")
-      .as[(Int, Long, Array[Float], Long, Array[Float])]
-      .map { case (_, qid, qv, cid, cv) => (qid, cid, round4(cosine(qv, cv))) }
-      .toDF("query_id", "corpus_id", "cosine")
-      .dropDuplicates("query_id", "corpus_id")
-
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("corpus_id").asc)
-    cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank"))
+  /** Sign signature under the (seed, planes, dim)-keyed hyperplane family. */
+  private def sigOf(v: Array[Float], planes: Int, seed: Long): Int = {
+    val h = hyperplanes(seed, planes, v.length)
+    var sig = 0
+    var p = 0
+    while (p < planes) {
+      var dot = 0.0
+      var i = 0
+      while (i < v.length) { dot += h(p)(i) * v(i); i += 1 }
+      if (dot >= 0) sig |= 1 << p
+      p += 1
+    }
+    sig
   }
 }
