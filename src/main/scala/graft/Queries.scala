@@ -156,7 +156,8 @@ object Queries {
       col("text"), col("lang"), col("source"),
       col("n_chars").cast("int").as("n_chars"))
     val out = cachedBtr(s, s"rt_engine_${math.abs(dir.hashCode)}", docs)(
-      BtrTable.write(docs, _, BtrConfig.default, rangeCols = Seq("source", "doc_id")))
+      BtrTable.write(docs, _, BtrConfig.default, rangeCols = Seq("source", "doc_id"),
+        numPartitions = scratchPartitions(s, docs)))
     BtrTable.load(s, out)
   }
 
@@ -288,7 +289,8 @@ object Queries {
     val docs = t(s, dir, "documents").select(
       col("doc_id").cast("int").as("doc_id"), col("text"), col("lang"))
     val out = cachedBtr(s, s"rt_source_${math.abs(dir.hashCode)}", docs)(
-      graft.engine.BlockFiles.write(docs, _, BtrConfig.default, rangeCols = Seq("doc_id")))
+      graft.engine.BlockFiles.write(docs, _, BtrConfig.default, rangeCols = Seq("doc_id"),
+        numPartitions = scratchPartitions(s, docs)))
     s.read.format("btr").load(out).select("doc_id", "lang")
   }
 
@@ -300,7 +302,8 @@ object Queries {
     val docs = t(s, dir, "documents").select(
       col("doc_id").cast("int").as("doc_id"), col("lang"), col("source"))
     val out = cachedBtr(s, s"q_prune_${math.abs(dir.hashCode)}", docs)(
-      BtrTable.write(docs, _, BtrConfig.default, rangeCols = Seq("doc_id")))
+      BtrTable.write(docs, _, BtrConfig.default, rangeCols = Seq("doc_id"),
+        numPartitions = scratchPartitions(s, docs)))
     BtrTable.loadPruned(s, out, "doc_id", 100, 199)
       .filter(col("doc_id").between(100, 199))
   }
@@ -335,7 +338,8 @@ object Queries {
     val docs = t(s, dir, "documents").select(
       col("doc_id").cast("int").as("doc_id"), col("lang"), col("source"))
     val out = cachedBtr(s, s"q_prune_src_${math.abs(dir.hashCode)}", docs)(
-      graft.engine.BlockFiles.write(docs, _, BtrConfig.default, rangeCols = Seq("doc_id")))
+      graft.engine.BlockFiles.write(docs, _, BtrConfig.default, rangeCols = Seq("doc_id"),
+        numPartitions = scratchPartitions(s, docs)))
     s.read.format("btr").load(out).where(col("doc_id").between(100, 199))
   }
 
@@ -397,7 +401,8 @@ object Queries {
       col("doc_id").cast("int").as("doc_id"), col("source"),
       col("n_chars").cast("double").as("n_chars_d"))
     val out = cachedBtr(s, s"q_prune_typed_${math.abs(dir.hashCode)}", docs)(
-      graft.engine.BlockFiles.write(docs, _, BtrConfig.default, rangeCols = Seq("source", "doc_id")))
+      graft.engine.BlockFiles.write(docs, _, BtrConfig.default, rangeCols = Seq("source", "doc_id"),
+        numPartitions = scratchPartitions(s, docs)))
     s.read.format("btr").load(out)
       .where(col("source") === "src3" && col("n_chars_d") >= 200.0)
   }
@@ -411,7 +416,8 @@ object Queries {
     val docs = t(s, dir, "documents").select(
       col("doc_id").cast("int").as("doc_id"), col("lang"), col("source"))
     val out = cachedBtr(s, s"q_prune_src_${math.abs(dir.hashCode)}", docs)(
-      graft.engine.BlockFiles.write(docs, _, BtrConfig.default, rangeCols = Seq("doc_id")))
+      graft.engine.BlockFiles.write(docs, _, BtrConfig.default, rangeCols = Seq("doc_id"),
+        numPartitions = scratchPartitions(s, docs)))
     s.read.format("btr").load(out)
       .where(col("doc_id").isin(7, 105, 211, 340, 444))
   }
@@ -425,7 +431,8 @@ object Queries {
     val docs = t(s, dir, "documents").select(
       col("doc_id").cast("int").as("doc_id"), col("lang"), col("source"))
     val out = cachedBtr(s, s"q_prune_src_${math.abs(dir.hashCode)}", docs)(
-      graft.engine.BlockFiles.write(docs, _, BtrConfig.default, rangeCols = Seq("doc_id")))
+      graft.engine.BlockFiles.write(docs, _, BtrConfig.default, rangeCols = Seq("doc_id"),
+        numPartitions = scratchPartitions(s, docs)))
     s.read.format("btr").load(out).agg(
       min(col("doc_id")).as("min_doc"),
       max(col("doc_id")).as("max_doc"),
@@ -445,7 +452,8 @@ object Queries {
     val docs = t(s, dir, "documents").select(
       col("doc_id").cast("int").as("doc_id"), col("lang"), col("source"))
     val out = cachedBtr(s, s"q_prune_src_${math.abs(dir.hashCode)}", docs)(
-      graft.engine.BlockFiles.write(docs, _, BtrConfig.default, rangeCols = Seq("doc_id")))
+      graft.engine.BlockFiles.write(docs, _, BtrConfig.default, rangeCols = Seq("doc_id"),
+        numPartitions = scratchPartitions(s, docs)))
     s.read.format("btr").load(out)
       .where(col("doc_id").between(100, 399))
       .agg(
@@ -469,7 +477,8 @@ object Queries {
     val docs = t(s, dir, "documents").select(
       col("doc_id").cast("int").as("doc_id"), col("lang"), col("source"))
     val out = cachedBtr(s, s"q_prune_src_${math.abs(dir.hashCode)}", docs)(
-      graft.engine.BlockFiles.write(docs, _, BtrConfig.default, rangeCols = Seq("doc_id")))
+      graft.engine.BlockFiles.write(docs, _, BtrConfig.default, rangeCols = Seq("doc_id"),
+        numPartitions = scratchPartitions(s, docs)))
     s.read.format("btr").load(out)
       .where((col("doc_id") < 50 || col("doc_id") >= 450) && !(col("lang") === "de"))
   }
@@ -486,7 +495,8 @@ object Queries {
       col("doc_id").cast("int").as("doc_id"), col("source"),
       col("n_chars").cast("double").as("n_chars_d"))
     val out = cachedBtr(s, s"q_prune_typed_${math.abs(dir.hashCode)}", docs)(
-      graft.engine.BlockFiles.write(docs, _, BtrConfig.default, rangeCols = Seq("source", "doc_id")))
+      graft.engine.BlockFiles.write(docs, _, BtrConfig.default, rangeCols = Seq("source", "doc_id"),
+        numPartitions = scratchPartitions(s, docs)))
     s.read.format("btr").load(out)
       .where(col("source").startsWith("src3"))
       .agg(
@@ -511,7 +521,8 @@ object Queries {
       col("doc_id").cast("int").as("doc_id"), col("source"),
       col("n_chars").cast("double").as("n_chars_d"))
     val out = cachedBtr(s, s"q_prune_typed_${math.abs(dir.hashCode)}", docs)(
-      graft.engine.BlockFiles.write(docs, _, BtrConfig.default, rangeCols = Seq("source", "doc_id")))
+      graft.engine.BlockFiles.write(docs, _, BtrConfig.default, rangeCols = Seq("source", "doc_id"),
+        numPartitions = scratchPartitions(s, docs)))
     s.read.format("btr").load(out)
       .groupBy("source")
       .agg(
@@ -533,7 +544,8 @@ object Queries {
       col("doc_id").cast("int").as("doc_id"), col("source"),
       col("n_chars").cast("double").as("n_chars_d"))
     val out = cachedBtr(s, s"q_prune_typed_${math.abs(dir.hashCode)}", docs)(
-      graft.engine.BlockFiles.write(docs, _, BtrConfig.default, rangeCols = Seq("source", "doc_id")))
+      graft.engine.BlockFiles.write(docs, _, BtrConfig.default, rangeCols = Seq("source", "doc_id"),
+        numPartitions = scratchPartitions(s, docs)))
     s.read.format("btr").load(out).select("source").distinct()
   }
 
@@ -550,7 +562,8 @@ object Queries {
     val docs = t(s, dir, "documents").select(
       col("doc_id").cast("int").as("doc_id"), col("lang"), col("source"))
     val out = cachedBtr(s, s"q_prune_src_${math.abs(dir.hashCode)}", docs)(
-      graft.engine.BlockFiles.write(docs, _, BtrConfig.default, rangeCols = Seq("doc_id")))
+      graft.engine.BlockFiles.write(docs, _, BtrConfig.default, rangeCols = Seq("doc_id"),
+        numPartitions = scratchPartitions(s, docs)))
     s.read.format("btr").load(out)
       .where(col("lang") =!= "de")
       .orderBy(col("doc_id").desc)
@@ -567,7 +580,8 @@ object Queries {
     val docs = t(s, dir, "documents").select(
       col("doc_id").cast("int").as("doc_id"), col("lang"), col("source"))
     val out = cachedBtr(s, s"q_prune_src_${math.abs(dir.hashCode)}", docs)(
-      graft.engine.BlockFiles.write(docs, _, BtrConfig.default, rangeCols = Seq("doc_id")))
+      graft.engine.BlockFiles.write(docs, _, BtrConfig.default, rangeCols = Seq("doc_id"),
+        numPartitions = scratchPartitions(s, docs)))
     val fact = s.read.format("btr").load(out)
     val dim = t(s, dir, "documents")
       .select(col("doc_id").cast("int").as("k"), col("source").as("dim_source"))
@@ -601,6 +615,21 @@ object Queries {
     */
   private def writePartitionBytes(s: SparkSession): String =
     s.conf.getOption("spark.graft.writePartitionBytes").getOrElse((128L << 20).toString)
+
+  /** Scale-adaptive writer count for the scratch btr tables (guide §6,
+    * "aim for output files in the 128 MB - 1 GB range"): one range-exchange
+    * partition per `writePartitionBytes` of estimated input, clamped to the
+    * session's shuffle width. The former default — shuffle partitions, 32
+    * here — turned every sub-MB scratch table into 32 near-empty block
+    * files, and every later scan of it into 32+ tasks of pure per-file
+    * fixed cost; a 100 TB input still fans out to the full width.
+    */
+  private def scratchPartitions(s: SparkSession, input: DataFrame): Int = {
+    val bytes = input.queryExecution.optimizedPlan.stats.sizeInBytes
+    val target = BigInt(writePartitionBytes(s).toLong)
+    val n = ((bytes + target - 1) / target).toInt
+    math.max(1, math.min(n, s.sessionState.conf.numShufflePartitions))
+  }
 
   private def nullDocs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").selectExpr(

@@ -201,7 +201,8 @@ object BlockFiles {
       dir: String,
       cfg: BtrConfig = BtrConfig.default,
       rangeCols: Seq[String] = Nil,
-      compressedExchange: Boolean = false): BtrManifest = {
+      compressedExchange: Boolean = false,
+      numPartitions: Int = 0): BtrManifest = {
     val spark = df.sparkSession
     val schema = df.schema
     require(schema.length <= 255,
@@ -217,7 +218,8 @@ object BlockFiles {
     if (fs0.exists(staleIdx)) fs0.delete(staleIdx, false)
     fs0.mkdirs(p)
 
-    val n = spark.sessionState.conf.numShufflePartitions
+    val n = if (numPartitions > 0) numPartitions
+            else spark.sessionState.conf.numShufflePartitions
     val stats: Array[BlockWriteStat] =
       if (rangeCols.nonEmpty && compressedExchange)
         writeCompressedExchange(df, blocksDir, cfg, rangeCols, n, confB)
