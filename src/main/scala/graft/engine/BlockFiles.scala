@@ -305,6 +305,13 @@ object BlockFiles {
       i
     }.toArray
 
+    // Writer width stays the configured shuffle width: with chunk-granular
+    // frames (~8 MB each here) MORE bins place the frames more evenly —
+    // a measured 27-writer variant (one per ~48 MB of input) lost 0.8 s to
+    // its straggler tail at 8 cores versus 64 small writers. File sizing
+    // for the QUERY scratch tables is handled by the caller's
+    // numPartitions; this pipeline's writer files are bulk-ingest output.
+
     // Bounds sample over the CHUNK-START key distribution, not the row
     // distribution: a frame's shuffle key is its sorted partition's
     // (chunkIdx × blockSize)-th smallest key, so with few chunks per
@@ -316,7 +323,11 @@ object BlockFiles {
     // with that chunk's true round-robin salt — reproducing the (key,
     // salt) pairs the encode will emit. Byte-budget-closed chunks
     // (maxChunkBytes) make the estimate coarser; bounds quality only
-    // affects file-size balance, never correctness.
+    // affects file-size balance, never correctness. Every split is scanned:
+    // with ~one chunk per split the emitted keys ARE the minimum viable
+    // sample (a measured 16-of-96-split stride variant yielded duplicate
+    // bounds, piled frames into few writers and lost ~0.8 s to the
+    // straggler tail — more than the sampling saved).
     val keyDf = df.selectExpr(rangeCols: _*)
     val kTypes = BtrEncoder.validateSchema(keyDf.schema)
     val kIdx = Array.tabulate(rangeCols.length)(identity)

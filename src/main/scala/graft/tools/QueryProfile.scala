@@ -43,10 +43,13 @@ object QueryProfile {
     val printer = new StagePrinter
     s.sparkContext.addSparkListener(printer)
 
+    val coldStages = sys.env.get("QPROF_COLD").contains("1")
     for (name <- args) {
       val fn = graft.SparkEntry.queries(name)
+      if (coldStages) printer.enabled = true
       val w0 = { val t = System.nanoTime(); fn(s, sfDir).count(); (System.nanoTime() - t) / 1e9 }
       Thread.sleep(200)
+      printer.enabled = false
       println(f"== $name (warm run below; first run $w0%.2fs)")
       printer.enabled = true
       val t0 = System.nanoTime()

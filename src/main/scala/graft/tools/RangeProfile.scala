@@ -37,6 +37,7 @@ object RangeProfile {
         val tm = si.taskMetrics
         stages.put(si.stageId,
           (si.name.take(70), wall, si.numTasks, tm.executorRunTime, tm.shuffleWriteMetrics.bytesWritten))
+        println(f"  [gc] stage ${si.stageId}%3d gc=${tm.jvmGCTime / 1000.0}%6.2f s cpu=${tm.executorCpuTime / 1e9}%7.2f s run=${tm.executorRunTime / 1000.0}%7.2f s shufWriteTime=${tm.shuffleWriteMetrics.writeTime / 1e9}%6.2f s")
       }
       override def onTaskEnd(te: SparkListenerTaskEnd): Unit = if (taskDetail) {
         val ti = te.taskInfo
