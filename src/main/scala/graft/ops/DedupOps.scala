@@ -36,10 +36,59 @@ object DedupOps {
 
   // --------------------------------------------------------------- minhash
 
+  /** Minimal open-addressing long set — the shingle/jaccard hot path built
+    * ~10⁷ boxed java.lang.Longs per dedup run through java.util.HashSet;
+    * this keeps the same value-set semantics allocation-free (both
+    * consumers — the min-over-hashes signature and the intersection count —
+    * are iteration-order-independent).
+    */
+  private[ops] final class LongSet(expected: Int) {
+    private var cap = { var c = 16; while (c < expected * 2) c <<= 1; c }
+    private var keys = new Array[Long](cap)
+    private var occ = new Array[Boolean](cap)
+    private var n = 0
+    def size: Int = n
+    /** Adds k; returns true when it was not present. */
+    def add(k: Long): Boolean = {
+      if (n * 2 >= cap) grow()
+      var h = (mix64(k) & (cap - 1)).toInt
+      while (occ(h)) {
+        if (keys(h) == k) return false
+        h = (h + 1) & (cap - 1)
+      }
+      keys(h) = k; occ(h) = true; n += 1
+      true
+    }
+    def contains(k: Long): Boolean = {
+      var h = (mix64(k) & (cap - 1)).toInt
+      while (occ(h)) {
+        if (keys(h) == k) return true
+        h = (h + 1) & (cap - 1)
+      }
+      false
+    }
+    private def grow(): Unit = {
+      val ok = keys; val oo = occ
+      cap <<= 1
+      keys = new Array[Long](cap)
+      occ = new Array[Boolean](cap)
+      n = 0
+      var i = 0
+      while (i < ok.length) { if (oo(i)) add(ok(i)); i += 1 }
+    }
+    def toArray: Array[Long] = {
+      val out = new Array[Long](n)
+      var i = 0
+      var o = 0
+      while (i < keys.length) { if (occ(i)) { out(o) = keys(i); o += 1 }; i += 1 }
+      out
+    }
+  }
+
   /** Character shingles of length k as a long-hash set. */
   def shingles(text: String, k: Int): Array[Long] = {
     if (text.length < k) return Array(mix64(text.hashCode.toLong))
-    val set = new java.util.HashSet[java.lang.Long]()
+    val set = new LongSet(math.min(1 << 10, text.length - k + 2))
     var i = 0
     while (i + k <= text.length) {
       var h = 0xcbf29ce484222325L
@@ -48,11 +97,7 @@ object DedupOps {
       set.add(mix64(h))
       i += 1
     }
-    val out = new Array[Long](set.size())
-    val it = set.iterator()
-    var o = 0
-    while (it.hasNext) { out(o) = it.next(); o += 1 }
-    out
+    set.toArray
   }
 
   /** numHashes-minhash signature via the one-permutation trick family
@@ -82,12 +127,18 @@ object DedupOps {
   }
 
   def jaccard(a: Array[Long], b: Array[Long]): Double = {
-    val sa = new java.util.HashSet[java.lang.Long]()
-    a.foreach(sa.add(_))
+    val sa = new LongSet(a.length)
+    var i = 0
+    while (i < a.length) { sa.add(a(i)); i += 1 }
     var inter = 0
-    val sb = new java.util.HashSet[java.lang.Long]()
-    b.foreach { x => if (sb.add(x) && sa.contains(x)) inter += 1 }
-    val union = sa.size() + sb.size() - inter
+    val sb = new LongSet(b.length)
+    var j = 0
+    while (j < b.length) {
+      val x = b(j)
+      if (sb.add(x) && sa.contains(x)) inter += 1
+      j += 1
+    }
+    val union = sa.size + sb.size - inter
     if (union == 0) 1.0 else inter.toDouble / union
   }
 
