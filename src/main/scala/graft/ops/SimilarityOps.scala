@@ -251,7 +251,6 @@ object SimilarityOps {
     // shuffled the full corpus vectors through a bucket join, then paid a
     // dropDuplicates plus a rank-window exchange on the candidates
     val qs = collectQueries(queries, idCol, vecCol)
-    require(qs.nonEmpty, "empty query set")
     val probes: Array[Array[Int]] = qs.map { case (_, qv) =>
       val s = sigOf(qv, planes, seed)
       (Seq(s) ++ (0 until planes).map(b => s ^ (1 << b))).distinct.sorted.toArray
