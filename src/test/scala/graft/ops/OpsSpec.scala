@@ -130,6 +130,51 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.length == 4999, s"capped cluster must emit no pairs: ${pairs.length}")
   }
 
+  test("LongSet matches java.util.HashSet semantics across growth") {
+    val rnd = new scala.util.Random(97)
+    val ref = new java.util.HashSet[java.lang.Long]()
+    val s = new DedupOps.LongSet(4) // force several growth rounds
+    val vals = Array.fill(5000)(rnd.nextLong() % 1000) :+ 0L :+ Long.MinValue :+ Long.MaxValue
+    vals.foreach { v =>
+      assert(s.add(v) == ref.add(v), s"add($v) disagreed")
+    }
+    assert(s.size == ref.size)
+    vals.foreach(v => assert(s.contains(v)))
+    assert(!s.contains(123456789012345L))
+    assert(s.toArray.sorted.toSeq == ref.toArray.map(_.asInstanceOf[Long]).sorted.toSeq)
+  }
+
+  test("bucket cap boundary: exactly-at-cap bucket emits pairs, cap+1 drops") {
+    val rnd = new scala.util.Random(31)
+    // one cluster of DISTINCT near-copies that all land in one sign bucket
+    def cluster(n: Int): Seq[(Long, Array[Float])] = {
+      val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+      (1L to n.toLong).map { i =>
+        val v = base.clone(); v(0) = v(0) + i * 1e-6f; (i, v)
+      }
+    }
+    val atCap = cluster(40).toDF("vec_id", "embedding")
+    val pairsAt = DedupOps.embeddingPairs(atCap, "vec_id", "embedding",
+      threshold = 0.99, maxBucket = 40).count()
+    assert(pairsAt == 40L * 39 / 2, s"exactly-at-cap bucket must emit all pairs: $pairsAt")
+    val overCap = cluster(41).toDF("vec_id", "embedding")
+    val obs = org.apache.spark.sql.Observation()
+    val pairsOver = DedupOps.embeddingPairs(overCap, "vec_id", "embedding",
+      threshold = 0.99, maxBucket = 40, droppedObs = Some(obs)).count()
+    assert(pairsOver == 0L, s"over-cap bucket must emit nothing: $pairsOver")
+    assert(obs.get("dropped_bucket_rows").asInstanceOf[Long] == 41L,
+      "dropped count = full bucket size")
+  }
+
+  test("ANN ops tolerate an empty query set") {
+    val rnd = new scala.util.Random(77)
+    val corpus = (1L to 50L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val noQueries = corpus.filter(col("vec_id") < 0)
+    assert(SimilarityOps.bruteForceTopK(corpus, noQueries, "vec_id", "embedding", 3).count() == 0)
+    assert(SimilarityOps.lshTopK(corpus, noQueries, "vec_id", "embedding", 3).count() == 0)
+  }
+
   test("lshTopK and ivfTopK organic recall vs brute force stays above floor") {
     val rnd = new scala.util.Random(23)
     val corpus = (1L to 600L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
